@@ -1,0 +1,80 @@
+"""Headline benchmark. Runs representative queries from the driver
+contract at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes fully on the cluster side via the noop sink — no
+driver-side collect, so the number measures scan/join/agg/sort
+throughput, not Python materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries chosen to cover the operator surface: columnar scan+agg,
+# broadcast-join pipelines, global sort, window functions, semi-join
+# RI filtering, and the extension tier (dedup/text/similarity get
+# added as they land in workloads/).
+HEADLINE = [
+    "q_pricing_summary",
+    "q_top_revenue_orders",
+    "q_region_revenue",
+    "j2_chained_ri_lineitem",
+    "o1_multikey_sort",
+    "a2_orders_per_customer",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "m1_apply_price_deltas",
+    "dedup_exact",
+    "text_quality_score",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry
+    from flat_file_social_media_database_engine_spark.session import build_session
+
+    spark = build_session("bench")
+    qs = entry.queries()
+
+    # Warm the JVM/codegen once on the smallest scale so per-query
+    # numbers measure execution, not first-call compilation.
+    try:
+        qs["q_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

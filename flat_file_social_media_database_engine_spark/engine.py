@@ -1,0 +1,123 @@
+"""Engine facade.
+
+The reference's ``FlatFile`` class (buzzdb_lab1.cpp:90-969) bundles
+storage, loaders, queries, and updates behind six methods. The Spark
+equivalent is thin: a SparkSession plus named temp views (so every
+operator is also runnable as SQL) plus a snapshot store for persisted
+mutations. There is no lock anywhere — immutable DataFrames and
+pointer-swap publishing make readers isolated by construction
+(SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.mutations import apply_view_deltas, rename_user, validated_append
+from .operators.queries import get_all_user_comments, get_engagements_by_location
+from .plans.snapshots import SnapshotStore
+from .sources.csv_source import load_social_tables
+from .sources.integrity import ri_sweep
+
+
+class Engine:
+    """Social-media engine with the reference's six-method API
+    (buzzdb_lab1.cpp: loadFlatFile :126, loadMultipleFlatFilesInParallel
+    :329, getAllUserComments :682, getAllEngagementsByLocation :725,
+    updatePostViews :603, addEngagementRecord :639, updateUserName
+    :775), re-expressed over DataFrames + snapshots."""
+
+    def __init__(self, spark: SparkSession, store_root: str | None = None):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = {}
+        self.store = SnapshotStore(spark, store_root) if store_root else None
+
+    # -- load (S1/S2/S3) ---------------------------------------------------
+    def load_flat_files(self, data_dir: str) -> None:
+        """Load CSVs with coerce-or-drop + RI filtering, then "commit"
+        by registering views — the reference's snapshot swap
+        (buzzdb_lab1.cpp:308-315) without the mutexes. Spark reads the
+        files partition-parallel, so this is also S2."""
+        self.tables = load_social_tables(self.spark, data_dir)
+        self._register()
+
+    def load_snapshot(self) -> None:
+        """Re-open the current persisted snapshot (restart path —
+        reference Test 12 reloads and re-asserts RI,
+        buzzdb_lab1.cpp:1650-1675)."""
+        assert self.store is not None
+        self.tables = self.store.read_all()
+        self._register()
+
+    def _register(self) -> None:
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+
+    # -- reads (Q1/Q2) ------------------------------------------------------
+    def get_all_user_comments(self, user_id: int) -> DataFrame:
+        return get_all_user_comments(
+            self.tables["users"], self.tables["engagements"], user_id
+        )
+
+    def get_engagements_by_location(self, location: str) -> DataFrame:
+        return get_engagements_by_location(
+            self.tables["users"], self.tables["engagements"], location
+        )
+
+    # -- writes (M1/M2/M3) ---------------------------------------------------
+    def update_post_views(self, deltas: DataFrame, persist: bool = True) -> None:
+        """M1 batched (buzzdb_lab1.cpp:603-631). ``deltas``:
+        (id, delta) rows; concurrent increments become rows in one
+        batch — associativity replaces Test 7's locking."""
+        self.tables["posts"] = apply_view_deltas(self.tables["posts"], deltas)
+        self._commit(["posts"], persist)
+
+    def add_engagement_records(self, batch: DataFrame, persist: bool = True) -> None:
+        """M2 (buzzdb_lab1.cpp:639-673): FK-validated append."""
+        self.tables["engagements"] = validated_append(
+            self.tables["engagements"],
+            batch,
+            [
+                (self.tables["posts"], "postId", "id"),
+                (self.tables["users"], "username", "username"),
+            ],
+        )
+        self._commit(["engagements"], persist)
+
+    def update_user_name(
+        self, user_id: int, new_username: str, persist: bool = True
+    ) -> None:
+        """M3 (buzzdb_lab1.cpp:775-963): cascading rename, committed as
+        ONE multi-table snapshot (all-or-nothing; stronger than the
+        reference's three separate renames)."""
+        u, p, e = rename_user(
+            self.tables["users"],
+            self.tables["posts"],
+            self.tables["engagements"],
+            user_id,
+            new_username,
+        )
+        self.tables.update(users=u, posts=p, engagements=e)
+        self._commit(["users", "posts", "engagements"], persist)
+
+    def _commit(self, changed: list[str], persist: bool) -> None:
+        if persist and self.store is not None:
+            self.store.commit({n: self.tables[n] for n in changed})
+            # Re-open from storage so downstream plans read the
+            # materialized snapshot, not an ever-growing lineage.
+            for n in changed:
+                self.tables[n] = self.store.read(n)
+        self._register()
+
+    # -- invariants ----------------------------------------------------------
+    def ri_report(self) -> DataFrame:
+        """J5 sweep (check_no_dangling_post_ids,
+        buzzdb_lab1.cpp:1063-1070) over both FK edges."""
+        t = self.tables
+        return ri_sweep(
+            [
+                (t["engagements"], t["posts"], "postId", "id", "engagements->posts"),
+                (t["engagements"], t["users"], "username", "username", "engagements->users"),
+                (t["posts"], t["users"], "username", "username", "posts->users"),
+            ]
+        )

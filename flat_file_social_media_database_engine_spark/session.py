@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+One shared session per process (the reference's whole test budget is
+smaller than a JVM cold-start — see BASELINE.md), configured for the
+100 TB design point:
+
+- AQE on (runtime re-plan, skew-join splitting, empty-side pruning —
+  the reference hand-codes its empty-build short-circuit at
+  buzzdb_lab1.cpp:741-742; AQE subsumes it).
+- Arrow for any pandas_udf / toPandas path.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- shuffle partitions sized from the env (local[32] test harness); on a
+  real cluster AQE coalesces them post-shuffle anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(app_name: str = "flat-file-engine-spark") -> SparkSession:
+    """Build (or fetch) the shared SparkSession."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Fixture events.parquet carries TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert in the
+        # catalog (sources/catalog.py) — micros after the convert.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Small-dim broadcast joins are the engine's bread and butter
+        # (reference's build-small/probe-large sets, buzzdb_lab1.cpp:524-547).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def get_session() -> SparkSession:
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session()

@@ -1,0 +1,54 @@
+"""Parquet fixture catalog.
+
+Loads the driver-provided tables and registers them as temp views so
+every operator is also runnable as plain Spark SQL — the engine's
+"commit" is view registration, mirroring the reference's
+build-then-swap load protocol (buzzdb_lab1.cpp:308-315) with
+immutable DataFrames instead of a mutex'd pointer swap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
+
+from ..schemas import FIXTURE_TABLES, EVENTS
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scans are column-pruned and
+    predicate-pushed by Catalyst — the 100 TB path needs no code here
+    beyond not getting in the optimizer's way.
+
+    events.ts is TIMESTAMP(NANOS) in the file; Spark has no nanosecond
+    timestamp, so it is read as long (nanosAsLong, see session.py) and
+    truncated to microseconds — the same conversion DuckDB applies, so
+    the oracle agrees at microsecond precision."""
+    if name == "events":
+        # Runtime-settable; must hold in the *caller's* session too
+        # (the driver builds its own plain SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.select([f.name for f in EVENTS.fields])
+    return df
+
+
+def load_fixture_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = False
+) -> dict[str, DataFrame]:
+    """Load all fixture tables; optionally register `name` temp views."""
+    dfs: dict[str, DataFrame] = {}
+    for name in FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        dfs[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,195 @@
+"""Headline analytical queries — the A1 conditional-aggregate pattern
+(buzzdb_lab1.cpp:745-764) scaled up to multi-join TPC-H-style plans.
+These are the bench.py drivers.
+
+Float determinism: double summation is order-dependent, and Spark's
+partial aggregation order differs from DuckDB's, so every SUM over a
+double expression is computed in DECIMAL (exact, order-independent)
+and cast back to DOUBLE for output. Products stay in double (per-row,
+deterministic); only the commutative reduction needs the exact type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import read_table
+from . import query
+
+
+def _dsum(col: Column | str) -> Column:
+    """Order-independent sum of a double expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): single-pass grouped multi-aggregate
+# — the scaled-up form of the reference's one-scan likes/comments
+# count (A1, buzzdb_lab1.cpp:749-762).
+# ---------------------------------------------------------------------------
+@query(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-revenue orders (TPC-H Q3 shape): 3-way join, grouped sum, top-k.
+# Exercises broadcast dim join + shuffle agg + global top-k — the
+# plan shape that must survive 100 TB (dim side broadcast, fact side
+# never re-shuffled more than once).
+# ---------------------------------------------------------------------------
+@query(
+    "q_top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        li.filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1999-01-01")))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01"))
+            ).join(
+                F.broadcast(building),
+                on=F.col("o_custkey") == F.col("c_custkey"),
+                how="left_semi",
+            ),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+            how="inner",
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regional revenue (TPC-H Q5 shape): snowflake join through
+# region→nation→customer→orders→lineitem with all dims broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    on=F.col("n_regionkey") == F.col("r_regionkey"),
+                    how="inner",
+                )
+            ),
+            on=F.col("c_nationkey") == F.col("n_nationkey"),
+            how="inner",
+        )
+        .select("c_custkey", "n_name")
+    )
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            ord_f.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "n_name"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+            how="inner",
+        )
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 writ large: single-pass conditional multi-count over one scan.
+# ---------------------------------------------------------------------------
+@query(
+    "a1_conditional_counts",
+    oracle="""
+    SELECT count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned,
+           count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS accepted,
+           count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS neither,
+           count(*) AS total
+    FROM lineitem
+    """,
+)
+def a1_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned"),
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("accepted"),
+        F.count(F.when(F.col("l_returnflag") == "N", 1)).alias("neither"),
+        F.count(F.lit(1)).alias("total"),
+    )

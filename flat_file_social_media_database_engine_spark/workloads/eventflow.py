@@ -1,0 +1,138 @@
+"""Event-stream workloads (batch-mode equivalents of the streaming
+tier). The reference's ``timestamp`` is a never-interpreted int
+(buzzdb_lab1.cpp:75); here it graduates to real event time: JSON
+prop extraction, tumbling-window rollups, and gap-based
+sessionization. The same transformations run under Structured
+Streaming via streaming/events.py (readStream → identical column
+expressions → writeStream).
+
+Determinism notes: SUM over doubles goes through DECIMAL (see
+analytics.py); window tie-breaks are (ts, event_id); timestamps are
+compared at microsecond precision via unix_micros/epoch_us.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import read_table
+from . import query
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+# ---------------------------------------------------------------------------
+# JSON prop extraction + grouped rollup (events.props is a JSON string)
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling 1-hour window rollup — batch twin of
+# streaming/events.py::tumbling_counts (F.window ≙ time_bucket).
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (30-min inactivity gap) — the stateful-
+# streaming operator expressed as window functions for the batch/oracle
+# path; the streaming path uses session_window (streaming/events.py).
+# ---------------------------------------------------------------------------
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > F.lit(SESSION_GAP_US)
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,355 @@
+"""Reference-parity operators instantiated on the driver fixtures
+(FIXTURES.md §2 instantiation map). Each query cites the SURVEY.md §2
+operator id and the reference lines it mirrors.
+
+Events play the role of engagements, customer of users:
+``events.user_id → customer.c_custkey`` is the fixtures' FK edge
+(like ``engagements.username → users.username``), and
+``event_type ∈ {click,error,purchase,signup,view}`` is the enum
+column (like ``type ∈ {like,comment}``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mutations import apply_view_deltas, rekey_cascade, validated_append
+from ..sources.catalog import read_table
+from ..sources.integrity import anti_filter, semi_filter
+from . import query
+
+
+# ---------------------------------------------------------------------------
+# Q1 — point equi-join + conjunctive filter + projection + multi-key sort
+# (J3/P1/P3/O1; reference getAllUserComments, buzzdb_lab1.cpp:682-718)
+# ---------------------------------------------------------------------------
+@query(
+    "q1_user_events",
+    oracle="""
+    SELECT e.event_id AS event_id, e.props AS props
+    FROM events e
+    JOIN (SELECT c_custkey FROM customer WHERE c_custkey = 42) c
+      ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'click'
+    ORDER BY e.event_id, e.props
+    """,
+)
+def q1_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    customer = read_table(spark, sf_dir, "customer")
+    user_row = customer.filter(F.col("c_custkey") == 42).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return (
+        events.filter(F.col("event_type") == "click")
+        .join(F.broadcast(user_row), on="user_id", how="inner")
+        .select("event_id", "props")
+        .orderBy("event_id", "props")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — filtered dim → broadcast semi-join → single-pass conditional counts
+# (J4/A1; reference getAllEngagementsByLocation, buzzdb_lab1.cpp:725-766)
+# ---------------------------------------------------------------------------
+@query(
+    "q2_engagements_by_segment",
+    oracle="""
+    SELECT count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q2_engagements_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    customer = read_table(spark, sf_dir, "customer")
+    seg_users = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return events.join(F.broadcast(seg_users), on="user_id", how="left_semi").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3/J1 — load-time RI semi-join filter (buzzdb_lab1.cpp:251-252)
+# ---------------------------------------------------------------------------
+@query(
+    "s3_ri_filter_orders",
+    oracle="""
+    SELECT * FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    """,
+)
+def s3_ri_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return semi_filter(orders, customer, "o_custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J2 — chained semi-joins: fact valid against *surviving* parent
+# (buzzdb_lab1.cpp:258-264,299-302 — order matters)
+# ---------------------------------------------------------------------------
+@query(
+    "j2_chained_ri_lineitem",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    )
+    """,
+)
+def j2_chained_ri_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    orders_ok = semi_filter(orders, customer, "o_custkey", "c_custkey")
+    return semi_filter(lineitem, orders_ok, "l_orderkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# J5 — anti-join RI sweep (check_no_dangling_post_ids,
+# buzzdb_lab1.cpp:1063-1070)
+# ---------------------------------------------------------------------------
+@query(
+    "j5_ri_sweep",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS dangling_count
+    UNION ALL
+    SELECT 'orders->customer' AS relationship,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS dangling_count
+    """,
+)
+def j5_ri_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    a = anti_filter(lineitem, orders, "l_orderkey", "o_orderkey").agg(
+        F.count(F.lit(1)).alias("dangling_count")
+    ).select(F.lit("lineitem->orders").alias("relationship"), "dangling_count")
+    b = anti_filter(orders, customer, "o_custkey", "c_custkey").agg(
+        F.count(F.lit(1)).alias("dangling_count")
+    ).select(F.lit("orders->customer").alias("relationship"), "dangling_count")
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# P3/P4 — conjunctive equality/range filter + projection
+# (buzzdb_lab1.cpp:706, :736)
+# ---------------------------------------------------------------------------
+@query(
+    "p3_filter_project",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'view' AND value > 100.0
+    """,
+)
+def p3_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.filter(
+        (F.col("event_type") == "view") & (F.col("value") > 100.0)
+    ).select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# P5 — key point lookup (map::find; buzzdb_lab1.cpp:691-693)
+# ---------------------------------------------------------------------------
+@query(
+    "p5_point_lookup",
+    oracle="SELECT * FROM customer WHERE c_custkey = 7",
+)
+def p5_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 7)
+
+
+# ---------------------------------------------------------------------------
+# A2 — group-by count (buzzdb_lab1.cpp:1239-1244,1355-1364)
+# ---------------------------------------------------------------------------
+@query(
+    "a2_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, count(*) AS order_count
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — distinct counts (std::set sizes; buzzdb_lab1.cpp:1099-1114)
+# ---------------------------------------------------------------------------
+@query(
+    "a3_distinct_counts",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS distinct_customers,
+           count(DISTINCT o_orderpriority) AS distinct_priorities,
+           count(*) AS total_orders
+    FROM orders
+    """,
+)
+def a3_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.countDistinct("o_orderpriority").alias("distinct_priorities"),
+        F.count(F.lit(1)).alias("total_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — median (test harness median-of-5; buzzdb_lab1.cpp:1154-1157)
+# ---------------------------------------------------------------------------
+@query(
+    "a5_median_totalprice",
+    oracle="""
+    SELECT round(median(o_totalprice), 4) AS median_totalprice,
+           round(median(o_orderkey), 4) AS median_orderkey
+    FROM orders
+    """,
+)
+def a5_median_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_totalprice"),
+        F.round(F.median("o_orderkey"), 4).alias("median_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — multi-key ascending global sort (buzzdb_lab1.cpp:712)
+# ---------------------------------------------------------------------------
+@query(
+    "o1_multikey_sort",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 — set intersection (std::set_intersection;
+# buzzdb_lab1.cpp:1124-1138)
+# ---------------------------------------------------------------------------
+@query(
+    "e1_intersect_custkeys",
+    oracle="""
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def e1_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.select("c_custkey").intersect(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 — batched point update with clamp (updatePostViews,
+# buzzdb_lab1.cpp:603-631). Deltas derived deterministically from the
+# key so the oracle can reproduce them.
+# ---------------------------------------------------------------------------
+@query(
+    "m1_apply_price_deltas",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           greatest(CAST(0 AS DOUBLE),
+                    p_retailprice + CAST(p_partkey % 7 - 3 AS DOUBLE) * 100.0
+           ) AS p_retailprice
+    FROM part
+    """,
+)
+def m1_apply_price_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    deltas = part.select(
+        F.col("p_partkey"),
+        ((F.col("p_partkey") % 7 - 3).cast("double") * 100.0).alias("delta"),
+    )
+    updated = apply_view_deltas(
+        part, deltas, key="p_partkey", target="p_retailprice", delta_col="delta"
+    )
+    return updated.select(*part.columns)
+
+
+# ---------------------------------------------------------------------------
+# M2 — FK-validated append (addEngagementRecord,
+# buzzdb_lab1.cpp:639-673). Half the synthetic batch carries dangling
+# user_ids and must be silently dropped.
+# ---------------------------------------------------------------------------
+@query(
+    "m2_validated_append",
+    oracle="""
+    WITH batch AS (
+      SELECT event_id + 1000000 AS event_id, ts,
+             CASE WHEN event_id % 2 = 0 THEN user_id
+                  ELSE user_id + 1000000 END AS user_id,
+             'synthetic' AS event_type, value, props
+      FROM events WHERE event_id < 100
+    )
+    SELECT * FROM events
+    UNION ALL
+    SELECT * FROM batch
+    WHERE user_id IN (SELECT c_custkey FROM customer)
+    """,
+)
+def m2_validated_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    customer = read_table(spark, sf_dir, "customer")
+    batch = (
+        events.filter(F.col("event_id") < 100)
+        .withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 2 == 0, F.col("user_id")).otherwise(
+                F.col("user_id") + 1000000
+            ),
+        )
+        .withColumn("event_id", F.col("event_id") + 1000000)
+        .withColumn("event_type", F.lit("synthetic"))
+    )
+    return validated_append(
+        events, batch.select(*events.columns), [(customer, "user_id", "c_custkey")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 — cascading re-key across tables (updateUserName,
+# buzzdb_lab1.cpp:775-963): customer 7 re-keyed to 1000007, propagated
+# to orders.o_custkey; returns the new orders snapshot.
+# ---------------------------------------------------------------------------
+@query(
+    "m3_rekey_cascade_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey = 7 THEN 1000007 ELSE o_custkey END AS o_custkey,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def m3_rekey_cascade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    _, facts = rekey_cascade(
+        customer, [(orders, "o_custkey")], "c_custkey", 7, 1000007
+    )
+    return facts[0].select(*orders.columns)

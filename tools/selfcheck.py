@@ -1,0 +1,110 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
+over the same parquet tables, compare row count + (sorted-column)
+schema + order-insensitive value hash.
+
+Usage: python tools/selfcheck.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    # Order-insensitive: sort rows by all columns.
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = _normalize(df)
+    payload = df.to_csv(index=False, float_format="%.10g").encode()
+    return hashlib.sha256(payload).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from flat_file_social_media_database_engine_spark.session import build_session
+
+    spark = build_session("selfcheck")
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed, passed, weak = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failed.append((name, f"spark error: {ex}"))
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            weak.append(name)
+            print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            failed.append((name, f"oracle error: {ex}"))
+            print(f"FAIL {name}: oracle error: {ex}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        elif value_hash(sdf) != value_hash(odf):
+            problems.append("value hash mismatch")
+            sn, on = _normalize(sdf), _normalize(odf)
+            diff = (sn != on) & ~(sn.isna() & on.isna())
+            if diff.any().any():
+                cols = [c for c in sn.columns if diff[c].any()]
+                rows = diff.any(axis=1)
+                print(f"  first diffs in {cols}:")
+                print(pd.concat(
+                    [sn.loc[rows, cols].head(3).add_suffix("_spark"),
+                     on.loc[rows, cols].head(3).add_suffix("_oracle")], axis=1))
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+        else:
+            passed.append(name)
+            print(f"ok   {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(passed)} ok, {len(weak)} weak (rows-only), {len(failed)} failed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
