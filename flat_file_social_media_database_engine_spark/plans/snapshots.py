@@ -95,6 +95,15 @@ class SnapshotStore:
 
         with open(os.path.join(vdir, "_MANIFEST.json"), "w") as f:
             json.dump({"version": version, "tables": new_tables}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        # Sync the version dir too, so the manifest's directory entry
+        # is durable before the pointer can reference it.
+        dfd = os.open(vdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
         # Atomic publish: write-tmp + rename, same primitive the
         # reference uses per data file (buzzdb_lab1.cpp:1053-1057),

@@ -27,9 +27,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp, so it is read as long (nanosAsLong, see session.py) and
     truncated to microseconds — the same conversion DuckDB applies, so
     the oracle agrees at microsecond precision."""
+    # Runtime-settable; must hold in the *caller's* session too (the
+    # driver builds its own plain SparkSession, possibly under a
+    # non-UTC system timezone — naive-timestamp oracles assume UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Runtime-settable; must hold in the *caller's* session too
-        # (the driver builds its own plain SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):

@@ -29,7 +29,10 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
     "events_json_extract",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           -- DuckDB sum(BIGINT) is HUGEINT (int128); Spark's is bigint.
+           -- Cast the *aggregate* so the oracle dtype matches Spark.
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -96,8 +99,11 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB windowed sum(int) is HUGEINT; Spark emits
+             -- bigint — dtype must match for the driver's value hash.
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

@@ -20,18 +20,34 @@ import pandas as pd
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value. Deliberately does NOT
+    coerce dtypes: the driver's hash is dtype-sensitive (round-1
+    lesson — DuckDB HUGEINT vs Spark bigint failed the driver while a
+    coercing local gate passed), so the local gate must surface dtype
+    drift, not paper over it. Only the pandas storage resolution of
+    timestamps is unified (ns vs us is a pandas artifact, not an
+    engine-visible type)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
-    # Order-insensitive: sort rows by all columns.
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def dtype_drift(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns whose pandas dtype *kind/width* differs between Spark
+    and the oracle (timestamp resolution excluded, see _normalize)."""
+
+    def kinds(df):
+        out = {}
+        for c in df.columns:
+            d = df[c].dtype
+            out[c] = "datetime" if pd.api.types.is_datetime64_any_dtype(d) else str(d)
+        return out
+
+    sk, ok = kinds(sdf), kinds(odf)
+    return [f"{c}: spark={sk[c]} oracle={ok[c]}" for c in sorted(sk) if sk[c] != ok[c]]
 
 
 def value_hash(df: pd.DataFrame) -> str:
@@ -84,6 +100,8 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        elif drift := dtype_drift(sdf, odf):
+            problems.append(f"dtype drift: {drift}")
         elif value_hash(sdf) != value_hash(odf):
             problems.append("value hash mismatch")
             sn, on = _normalize(sdf), _normalize(odf)
