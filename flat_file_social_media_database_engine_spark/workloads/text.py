@@ -1,1 +1,273 @@
-"""Filled in incrementally — see workloads/__init__.py registry."""
+"""Text-analysis tier over the ``documents`` table — the operators a
+large-scale training-data pipeline runs before dedup/filtering:
+quality scoring, token statistics, language-ID (marker-token
+heuristic), and rolling-hash document fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` (split / transform /
+aggregate / filter run inside whole-stage codegen on the JVM — no
+Python in the hot path), so at 100 TB each operator is a single
+column-pruned parquet scan with a narrow projection; the only shuffle
+anywhere in this module is `text_token_freq`'s group-by, which
+map-side combines to one row per distinct token per partition.
+
+Float determinism (driver value-hash): quality metrics use only
++,-,*,/ and least/greatest over identical integer inputs — IEEE
+doubles from the same ops in the same order are bit-equal across
+Spark and DuckDB. No transcendental functions (libm results differ).
+Counts are cast to BIGINT on both sides (Spark `size()` is int,
+DuckDB `len()` is bigint, and DuckDB sums promote to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import read_table
+from . import query
+
+# Function-word markers per language — the classic cheap language-ID
+# heuristic (count marker-token hits, argmax). On the synthetic
+# fixture the vocab is shared across langs, so scoring is uniform —
+# the operator's contract (deterministic argmax with name tie-break)
+# is what the oracle checks.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS: tuple[str, ...] = ("a", "the", "of", "and", "in", "to", "is", "on")
+
+_FP_MOD = 1_000_000_007  # keep the rolling-hash accumulator < 2^31 so
+_FP_MULT = 31  # acc*31 + x never overflows int64
+
+
+def _tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (the BPE-ish regex split: any run of
+    whitespace is one separator; leading/trailing trimmed first)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _in_set(words: tuple[str, ...]):
+    """Unary lambda factory for F.filter membership tests."""
+    return lambda t: t.isin(*words)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: per-doc token stats + a composite quality score.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+                 AS sum_tok_len,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             CAST(len(list_filter(toks, t -> t IN ({_sql_in(STOPWORDS)})))
+                  AS BIGINT) AS n_stop,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                 AS n_alpha
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, n_chars,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE sum_tok_len / n_tokens END AS mean_tok_len,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE n_uniq / n_tokens END AS uniq_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE n_stop / n_tokens END AS stop_ratio,
+           CASE WHEN n_chars = 0 THEN 0.0
+                ELSE n_alpha / n_chars END AS alpha_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE least(1.0, n_tokens / 64.0)
+                     * (0.5 + 0.5 * (n_uniq / n_tokens)) END AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (length / stopword / uniqueness
+    ratios) and a composite score — the filter signal of a pretraining
+    pipeline. One scan, no shuffle, codegen throughout."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    zero = F.lit(0).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.aggregate(toks, zero, lambda a, t: a + F.length(t)).alias("sum_tok_len"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        .cast("bigint")
+        .alias("n_alpha"),
+    )
+    n_tok = F.col("n_tokens")
+    guard = lambda expr: F.when(n_tok == 0, F.lit(0.0)).otherwise(expr)  # noqa: E731
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        guard(F.col("sum_tok_len") / n_tok).alias("mean_tok_len"),
+        guard(F.col("n_uniq") / n_tok).alias("uniq_ratio"),
+        guard(F.col("n_stop") / n_tok).alias("stop_ratio"),
+        F.when(F.col("n_chars") == 0, F.lit(0.0))
+        .otherwise(F.col("n_alpha") / F.col("n_chars"))
+        .alias("alpha_ratio"),
+        guard(
+            F.least(F.lit(1.0), n_tok / F.lit(64.0))
+            * (F.lit(0.5) + F.lit(0.5) * (F.col("n_uniq") / n_tok))
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token frequency: top-k tokens. The only shuffle in the tier;
+# partial (map-side) aggregation reduces it to |vocab| rows/partition.
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_freq",
+    oracle=f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: marker-token hit counts + deterministic argmax.
+# ---------------------------------------------------------------------------
+def _langid_case_sql() -> str:
+    """CASE argmax over hit counts; ties break by language-name order
+    (the CASE chain tests >= in sorted-lang order)."""
+    langs = sorted(LANG_MARKERS)
+    conds = []
+    for lang in langs:
+        others = [f"hits_{lang} >= hits_{o}" for o in langs if o != lang]
+        conds.append(f"WHEN {' AND '.join(others)} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang AS label_lang,
+             {", ".join(
+                 f"CAST(len(list_filter(toks, t -> t IN ({_sql_in(ms)})))"
+                 f" AS BIGINT) AS hits_{lang}"
+                 for lang, ms in sorted(LANG_MARKERS.items())
+             )}
+      FROM tok
+    )
+    SELECT doc_id, label_lang, {_langid_case_sql()} AS pred_lang,
+           greatest({", ".join("hits_" + lang for lang in sorted(LANG_MARKERS))})
+               AS best_hits
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-token language-ID heuristic. Pure projection —
+    scales as a map-only pass; the marker sets ship in the plan
+    (literal arrays), no join, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    langs = sorted(LANG_MARKERS)
+    h = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        # NB: the lambda must be unary — PySpark treats a 2-arg lambda
+        # as (element, index), so a `ms=ms` default would capture the
+        # index column instead of the marker tuple.
+        *[
+            F.size(F.filter(toks, _in_set(ms))).cast("bigint").alias(f"hits_{lang}")
+            for lang, ms in sorted(LANG_MARKERS.items())
+        ],
+    )
+    # CASE chain in sorted-lang order: ties go to the earliest
+    # language name, matching the oracle's CASE chain.
+    pred_chain = None
+    for lang in langs:
+        others = [
+            F.col(f"hits_{lang}") >= F.col(f"hits_{o}") for o in langs if o != lang
+        ]
+        cond = others[0]
+        for c in others[1:]:
+            cond = cond & c
+        pred_chain = (
+            F.when(cond, F.lit(lang))
+            if pred_chain is None
+            else pred_chain.when(cond, F.lit(lang))
+        )
+    return h.select(
+        "doc_id",
+        "label_lang",
+        pred_chain.otherwise(F.lit("und")).alias("pred_lang"),
+        F.greatest(*[F.col(f"hits_{lang}") for lang in langs]).alias("best_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: polynomial rolling hash over the token stream
+# (per-token code = ascii(first char) + 17*len), mod 1e9+7. Exactly
+# reproducible in SQL on any engine — the content-addressing primitive
+# exact dedup builds on when raw text is too wide to group on.
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform({_TOKENS_SQL},
+                      t -> CAST(ascii(t) + 17 * length(t) AS BIGINT))),
+                  (a, x) -> (a * {_FP_MULT} + x) % {_FP_MOD}
+                ) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        _tokens(), lambda t: (F.ascii(t) + 17 * F.length(t)).cast("bigint")
+    )
+    # DuckDB list_reduce seeds with the first element, so the oracle
+    # prepends the 0 seed; Spark aggregate takes it explicitly.
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * _FP_MULT + x) % _FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
