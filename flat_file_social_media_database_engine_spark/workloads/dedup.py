@@ -1,1 +1,410 @@
-"""Filled in incrementally — see workloads/__init__.py registry."""
+"""Deduplication tier over ``documents`` — the pipeline stage every
+large-scale training-data build runs: exact dedup, n-gram Jaccard
+near-dup, MinHash-LSH near-dup, and SimHash fingerprinting.
+
+Scale posture (the part that matters at 100 TB):
+- ``dedup_exact`` groups on a fixed-width digest, never on raw text —
+  one shuffle of (digest, doc_id), map-side combined.
+- ``dedup_ngram_jaccard`` generates candidates through an inverted
+  index join on shingles (pairs must SHARE a shingle) — never a
+  cartesian product. Common-shingle counting is a shuffle keyed on
+  the shingle string; hot shingles are bounded because shingles are
+  per-doc DISTINCT.
+- ``dedup_minhash_lsh`` is the real 100 TB path: 64 MinHashes banded
+  16×4, candidates only within equal (band, key) buckets, exact
+  Jaccard verification restricted to candidates. The signature
+  computation is map-only (array expressions, whole-stage codegen —
+  no Python, no explode until the 16-rows/doc band table).
+- ``dedup_simhash`` is map-only (per-doc 60-bit signature).
+
+Hash family: every hash is derived from md5 (present and bit-identical
+in Spark and DuckDB — first 15 hex chars parsed as a 60-bit int), so
+ALL four operators are oracle-checked, including the LSH pipeline
+(same seeded affine family on both sides). xxhash64 would be ~2×
+faster JVM-side but has no DuckDB twin; at cluster scale swap
+``_h60``'s md5 for xxhash64 and the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import read_table
+from . import query
+from .text import _TOKENS_SQL, _tokens
+
+SHINGLE_K = 3  # word-shingle width
+NUM_HASHES = 64  # MinHash signature length
+BANDS = 16  # 16 bands x 4 rows: ~s-curve threshold (1/16)^(1/4) ≈ 0.5
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.5
+_P = 1_000_000_007  # hash-family modulus (30-bit: a*g+b stays < 2^63)
+
+_rng = random.Random(0xDEC0DE)
+_AB = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(NUM_HASHES)]
+
+
+# ---------------------------------------------------------------------------
+# Shared primitives (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+def _h60(c: Column) -> Column:
+    """60-bit integer hash: first 15 hex chars of md5. Bit-identical
+    across engines (md5 is; xxhash64 is not in DuckDB)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _norm() -> Column:
+    """Normalization for exact dedup: casefold + collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _shingles(toks: Column) -> Column:
+    """Distinct word K-shingles. Guarded: sequence(1, n-K+1) would
+    count DOWN for n < K (Spark generates descending sequences), so
+    short docs get an explicit empty array."""
+    n = F.size(toks)
+    return F.when(
+        n >= SHINGLE_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - SHINGLE_K + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = f"""
+    CASE WHEN len(toks) >= {SHINGLE_K}
+         THEN list_distinct(list_transform(
+                range(1, len(toks) - {SHINGLE_K} + 2),
+                i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ')))
+         ELSE [] END
+"""
+
+_DOC_SHINGLES_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok
+    ),
+    e AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM e GROUP BY doc_id
+    )
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(exploded (doc_id, s) shingles, per-doc shingle counts)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return e, sizes
+
+
+def _pair_jaccard(e: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing ≥1 shingle, via the
+    inverted-index self-join (candidates share a key — no cartesian)."""
+    a = e.alias("a")
+    b = e.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        common.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: digest-group, keep-first (min doc_id) — the same
+# first-wins discipline as the CSV loader's duplicate-key rule.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS content_digest,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text. Shuffles (digest, doc_id) only
+    — never the document bodies — and min/count combine map-side, so
+    the reduce input is one row per distinct digest per partition."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(_norm()).alias("content_digest"), "doc_id")
+        .groupBy("content_digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: exact similarity over the inverted index.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {_DOC_SHINGLES_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, common,
+           na.n_shingles AS n_a, nb.n_shingles AS n_b,
+           common / (na.n_shingles + nb.n_shingles - common) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.doc_id = doc_id_a
+    JOIN sizes nb ON nb.doc_id = doc_id_b
+    WHERE common / (na.n_shingles + nb.n_shingles - common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, sizes = _doc_shingles(spark, sf_dir)
+    return _pair_jaccard(e, sizes).filter(
+        F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH: the 100 TB near-dup path. Candidates come only
+# from equal (band, band_key) buckets; exact Jaccard verifies them.
+# ---------------------------------------------------------------------------
+def _affine(a: int, b: int):
+    """Unary lambda factory (a 2-arg lambda would be read by PySpark
+    as an (element, index) function)."""
+    return lambda x: (a * x + b) % _P
+
+
+def _minhash_sig(g: Column) -> list[Column]:
+    """64 affine MinHashes over the 60-bit shingle hashes ``g``."""
+    return [
+        F.array_min(F.transform(g, _affine(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_AB)
+    ]
+
+
+def _lsh_oracle() -> str:
+    mins = ", ".join(
+        f"min(({a} * g + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(_AB)
+    )
+    band_keys = ", ".join(
+        "md5("
+        + " || '-' || ".join(
+            f"CAST(mh_{band * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + f") AS bk_{band}"
+        for band in range(BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, bk_{band} AS band_key FROM sig"
+        for band in range(BANDS)
+    )
+    return f"""
+    {_DOC_SHINGLES_SQL},
+    g AS (
+      SELECT doc_id, {_h60_sql('s')} % {_P} AS g FROM e
+    ),
+    sigm AS (
+      SELECT doc_id, {mins} FROM g GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, {band_keys} FROM sigm
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_id_a, c.doc_id_b, count(*) AS common
+      FROM cand c
+      JOIN e ea ON ea.doc_id = c.doc_id_a
+      JOIN e eb ON eb.doc_id = c.doc_id_b AND eb.s = ea.s
+      GROUP BY 1, 2
+    )
+    SELECT v.doc_id_a, v.doc_id_b, v.common,
+           na.n_shingles AS n_a, nb.n_shingles AS n_b,
+           v.common / (na.n_shingles + nb.n_shingles - v.common) AS jaccard
+    FROM verified v
+    JOIN sizes na ON na.doc_id = v.doc_id_a
+    JOIN sizes nb ON nb.doc_id = v.doc_id_b
+    WHERE v.common / (na.n_shingles + nb.n_shingles - v.common)
+          >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle → MinHash(64) → band(16×4) → bucket-join → verify.
+
+    Plan shape at scale: signature computation is map-only array math
+    inside codegen; the band table is 16 rows/doc of (band, 32-char
+    key); candidate generation shuffles on (band, band_key) — bucket
+    sizes are the LSH collision sets, not the corpus; verification
+    joins only candidate pairs back to the inverted index. Nothing is
+    ever all-pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
+    g = sh.select(
+        "doc_id",
+        F.transform("shingles", lambda s: _h60(s) % _P).alias("g"),
+        F.size("shingles").alias("n_shingles"),
+    ).filter(F.col("n_shingles") > 0)
+
+    sig = g.select("doc_id", "n_shingles", *_minhash_sig(F.col("g")))
+    band_key_cols = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh_{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"bk_{band}")
+        for band in range(BANDS)
+    ]
+    keyed = sig.select("doc_id", *band_key_cols)
+    bands = keyed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), F.col(f"bk_{band}").alias("band_key")
+                    )
+                    for band in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+    e, sizes = _doc_shingles(spark, sf_dir)
+    ea = e.select(F.col("doc_id").alias("doc_id_a"), "s")
+    eb = e.select(F.col("doc_id").alias("doc_id_b"), "s")
+    verified = (
+        cand.join(ea, "doc_id_a")
+        .join(eb, ["doc_id_b", "s"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        verified.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: per-doc 60-bit signature (tf-weighted sign-sum of token-
+# hash bits). Map-only; near-dup = small Hamming distance.
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 60
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(toks, t -> {_h60_sql('t')}) AS hv
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"(CASE WHEN list_sum(list_transform(hv,"
+               f" h -> 2 * ((h >> {b}) & 1) - 1)) >= 0"
+               f" THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+               for b in range(_SIMHASH_BITS)
+           )} AS BIGINT) AS simhash
+    FROM hs
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash. The whole signature is array expressions over
+    one row — zero shuffles; at 100 TB this is a pure map stage (and
+    the natural pre-filter in front of exact-Jaccard verification)."""
+    docs = read_table(spark, sf_dir, "documents")
+    hv = F.transform(_tokens(), _h60)
+
+    def _bit_sum(b: int):
+        # binary (acc, h) merge function; bit index baked in closure
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bit_terms = [
+        F.when(
+            F.aggregate(F.col("hv"), F.lit(0).cast("bigint"), _bit_sum(b)) >= 0,
+            F.lit(1 << b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(_SIMHASH_BITS)
+    ]
+    out = F.lit(0).cast("bigint")
+    for t in bit_terms:
+        out = out + t
+    return docs.select("doc_id", hv.alias("hv")).select(
+        "doc_id", out.alias("simhash")
+    )

@@ -1,0 +1,74 @@
+"""Dedup tier checks on planted duplicates (the fixture's organic
+near-dups are exercised by tools/selfcheck.py's oracle comparison).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flat_file_social_media_database_engine_spark.workloads import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill and the birds sing in the tree"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """10 distinct docs + one exact dup + one near-dup (1-word edit)."""
+    distinct = [
+        (i, f"document number {i} talks about topic {i} in detail with words {i}",
+         "en", "s", 1)
+        for i in range(10)
+    ]
+    rows = distinct + [
+        (100, BASE, "en", "s", 1),
+        (101, BASE, "en", "s", 1),  # exact dup of 100
+        (102, BASE.replace("warm", "cold"), "en", "s", 1),  # near-dup
+        (103, "   " + BASE.upper() + "  ", "en", "s", 1),  # dup after normalize
+    ]
+    d = tmp_path_factory.mktemp("planted")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_keeps_first_and_groups_normalized(spark, planted_dir):
+    out = {r["keep_doc_id"]: r["group_size"]
+           for r in D.dedup_exact(spark, planted_dir).collect()}
+    # 100, 101, 103 normalize to the same digest; keeper is min doc_id
+    assert out[100] == 3
+    assert 101 not in out and 103 not in out
+    assert out[102] == 1
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, planted_dir):
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+             for r in D.dedup_ngram_jaccard(spark, planted_dir).collect()}
+    assert pairs[(100, 101)] == pytest.approx(1.0)  # identical
+    assert (100, 102) in pairs and pairs[(100, 102)] > 0.7  # 1-word edit
+    # unrelated docs share no 3-shingles above threshold
+    assert all(a >= 100 for a, _ in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, planted_dir):
+    """Banded LSH must recover every pair the exact operator finds at
+    this threshold (16x4 bands, s-curve midpoint ≈ 0.5)."""
+    exact = {(r["doc_id_a"], r["doc_id_b"])
+             for r in D.dedup_ngram_jaccard(spark, planted_dir).collect()}
+    lsh = {(r["doc_id_a"], r["doc_id_b"])
+           for r in D.dedup_minhash_lsh(spark, planted_dir).collect()}
+    assert exact, "planted pairs must exist"
+    assert lsh == exact  # verification step makes precision exact; recall == 1 here
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark, planted_dir):
+    sh = {r["doc_id"]: r["simhash"]
+          for r in D.dedup_simhash(spark, planted_dir).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sh[100] == sh[101]  # identical text -> identical signature
+    assert ham(sh[100], sh[102]) <= 12  # near-dup stays close in Hamming space
+    far = [ham(sh[100], sh[i]) for i in range(10)]
+    assert min(far) > 12  # unrelated docs are far
