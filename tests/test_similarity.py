@@ -1,0 +1,94 @@
+"""Similarity tier: exactness of brute-force top-k on a hand-built
+corpus, and LSH recall/efficiency vs the brute-force baseline on the
+fixture (the fixture's oracle-differential check runs in selfcheck).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from flat_file_social_media_database_engine_spark.workloads import similarity as S
+
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """Query 0 plus: near-identical (1), orthogonal-ish (2..), and an
+    exact opposite (9) — known cosine ordering."""
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # cos ≈ 0.9939
+        (2, [0.5, 0.5, 0.0, 0.0], 0),   # cos ≈ 0.7071
+        (3, [0.0, 1.0, 0.0, 0.0], 0),   # cos = 0
+        (9, [-1.0, 0.0, 0.0, 0.0], 0),  # cos = -1
+    ]
+    d = tmp_path_factory.mktemp("emb")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    assert dim  # doc only
+    return str(d)
+
+
+def test_bruteforce_ordering_and_values(spark, planted_dir):
+    out = [
+        (r["rank"], r["neighbor_id"], r["cosine"])
+        for r in S.sim_topk_bruteforce(spark, planted_dir)
+        .filter("query_id = 0")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [n for _, n, _ in out] == [1, 2, 3, 9]
+    assert out[0][2] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01))
+    assert out[1][2] == pytest.approx(1 / math.sqrt(2))
+    assert out[2][2] == pytest.approx(0.0)
+    assert out[3][2] == pytest.approx(-1.0)
+
+
+def test_lsh_recall_and_candidate_efficiency(spark):
+    """On the 500-vector fixture: recall@5 well above random-candidate
+    levels, while the exact-scored candidate set stays a small
+    fraction of Q x N (the whole point of bucketing)."""
+    bf = S.sim_topk_bruteforce(spark, SF_MEDIUM).collect()
+    lsh = S.sim_topk_lsh(spark, SF_MEDIUM).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    got = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    recall = len(truth & got) / len(truth)
+
+    # candidate volume: count pairs the LSH bucket join produced
+    emb = S.read_table(spark, SF_MEDIUM, "embeddings")
+    from pyspark.sql import functions as F
+
+    base = emb.select("vec_id", "embedding")
+    sigs = S._signatures(spark, base, "vec_id")
+    qsig = sigs.filter(F.col("vec_id") < S.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "t", "sig"
+    )
+    n_cand = (
+        qsig.join(sigs, ["t", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .count()
+    )
+    n_total = S.N_QUERIES * (emb.count() - 1)
+
+    # embeddings are near-random (no cluster structure), so recall@5
+    # is bounded by ANN physics; random candidates of this volume
+    # would land ≈ n_cand/n_total (~24%). Require clear separation.
+    assert recall >= 0.50, f"recall {recall}"
+    assert n_cand / n_total <= 0.30, f"candidates {n_cand}/{n_total}"
+    assert recall > 1.8 * (n_cand / n_total)
+
+
+def test_neardup_cosine_symmetric_pairs_unique(spark):
+    rows = S.sim_neardup_cosine(spark, SF_MEDIUM).collect()
+    pairs = [(r["vec_id_a"], r["vec_id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(r["cosine"] >= S.NEARDUP_COSINE for r in rows)
