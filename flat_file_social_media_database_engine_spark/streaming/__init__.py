@@ -1,0 +1,9 @@
+"""Structured Streaming tier: the events workloads re-expressed over
+``readStream`` (see ``streaming.events``)."""
+
+from .events import (  # noqa: F401
+    json_extract_rollup,
+    read_events_stream,
+    sessionize,
+    tumbling_counts,
+)
