@@ -17,7 +17,7 @@ from .operators.mutations import apply_view_deltas, rename_user, validated_appen
 from .operators.queries import get_all_user_comments, get_engagements_by_location
 from .plans.snapshots import SnapshotStore
 from .sources.csv_source import load_social_tables
-from .sources.integrity import ri_sweep
+from .sources.integrity import ri_sweep, validate_batch
 
 
 class Engine:
@@ -37,8 +37,16 @@ class Engine:
         """Load CSVs with coerce-or-drop + RI filtering, then "commit"
         by registering views — the reference's snapshot swap
         (buzzdb_lab1.cpp:308-315) without the mutexes. Spark reads the
-        files partition-parallel, so this is also S2."""
+        files partition-parallel, so this is also S2.
+
+        With a store attached, the load seeds a FULL snapshot of all
+        tables: later commits persist only changed tables, so without
+        the seed a restart after a partial mutation history would
+        silently drop never-mutated tables."""
         self.tables = load_social_tables(self.spark, data_dir)
+        if self.store is not None:
+            self.store.commit(dict(self.tables))
+            self.tables = {n: self.store.read(n) for n in self.tables}
         self._register()
 
     def load_snapshot(self) -> None:
@@ -73,16 +81,28 @@ class Engine:
         self._commit(["posts"], persist)
 
     def add_engagement_records(self, batch: DataFrame, persist: bool = True) -> None:
-        """M2 (buzzdb_lab1.cpp:639-673): FK-validated append."""
-        self.tables["engagements"] = validated_append(
-            self.tables["engagements"],
-            batch,
-            [
-                (self.tables["posts"], "postId", "id"),
-                (self.tables["users"], "username", "username"),
-            ],
-        )
-        self._commit(["engagements"], persist)
+        """M2 (buzzdb_lab1.cpp:639-673): FK-validated append.
+
+        Persisted path is O(batch): only the validated rows are
+        written (``SnapshotStore.append`` adds a file to the table's
+        manifest list); the existing table files are never rewritten
+        — the reference appends one CSV line (:663-672), and at scale
+        rewriting the fact table per batch would be the bottleneck."""
+        checks = [
+            (self.tables["posts"], "postId", "id"),
+            (self.tables["users"], "username", "username"),
+        ]
+        if persist and self.store is not None:
+            ok = validate_batch(
+                batch.select(*self.tables["engagements"].columns), checks
+            )
+            self.store.append({"engagements": ok})
+            self.tables["engagements"] = self.store.read("engagements")
+        else:
+            self.tables["engagements"] = validated_append(
+                self.tables["engagements"], batch, checks
+            )
+        self._register()
 
     def update_user_name(
         self, user_id: int, new_username: str, persist: bool = True

@@ -34,6 +34,14 @@ def apply_view_deltas(
     untouched (reference returns false, :612-613 — here rows simply
     pass through unchanged).
 
+    DOCUMENTED DIVERGENCE (batch semantics): the clamp applies once to
+    the NET batch sum, not per delta. With views=5 and deltas
+    [-10, +3] the reference's sequential path yields 3 (clamp fires
+    mid-sequence); here the net is -7 → greatest(0, -2) = 0. For
+    non-negative deltas (the reference's Test 7 workload) the two are
+    identical; mixed-sign batches are clamped on the net sum. Pinned
+    by tests/test_engine (mixed-sign clamp test).
+
     Deltas are pre-aggregated (map-side combinable) then broadcast-
     joined onto the table — one shuffle-free pass over the big side
     when the delta set is small, which is the Test-7 shape (100

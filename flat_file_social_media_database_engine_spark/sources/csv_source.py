@@ -94,14 +94,21 @@ def read_csv_strict(
         [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
     if dedupe_keys:
-        # Keep first occurrence per key in file order (see module doc).
-        order_col = F.monotonically_increasing_id()
-        df = df.withColumn("__pos", order_col)
-        w = Window.partitionBy(*dedupe_keys).orderBy("__pos")
+        # Keep first occurrence per key in file order. Order key is
+        # (file path, position-within-split): monotonically_increasing_id
+        # alone is only deterministic per partitioning, so the file
+        # path leads — rows of the same key in the SAME file resolve by
+        # within-split position (splits scan forward, so position order
+        # is the file's line order; across files, path order wins).
+        df = (
+            df.withColumn("__file", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.monotonically_increasing_id())
+        )
+        w = Window.partitionBy(*dedupe_keys).orderBy("__file", "__pos")
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__pos", "__rn")
+            .drop("__file", "__pos", "__rn")
         )
     return df
 
@@ -117,9 +124,12 @@ def load_social_tables(
     RI order matters and is preserved from the reference: posts are
     filtered against users first (buzzdb_lab1.cpp:251-252), then
     engagements against the *surviving* posts and users (:258-264,
-    :299-302). Both are broadcast left-semi joins — the Spark-native
-    form of the reference's build-small-probe-large unordered_set
-    membership tests (:207,259,524,542).
+    :299-302). All are left-semi joins over distinct key projections —
+    the Spark-native form of the reference's build-small-probe-large
+    unordered_set membership tests (:207,259,524,542). Join strategy
+    is left to AQE/threshold ('auto'): it broadcasts the key sets at
+    lab scale and degrades to shuffled semi-joins when the build side
+    outgrows memory (users/posts both scale with the data).
     """
     from .integrity import semi_filter
 

@@ -14,26 +14,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def semi_filter(
-    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
-) -> DataFrame:
-    """Keep fact rows whose key exists in dim (broadcast left-semi).
+def _keys(dim: DataFrame, dim_key: str, fact_key: str, hint: str) -> DataFrame:
+    """Distinct key projection of the build side, optionally with an
+    explicit broadcast hint.
 
-    Mirrors buzzdb_lab1.cpp:207-213 (build) + :251-252 (probe).
-    The build side is the *distinct key projection*, not the full dim —
-    at 100 TB that is the difference between broadcasting kilobytes
-    and shuffling the fact table.
+    ``hint='broadcast'`` is for true dimension edges (users, customer)
+    whose distinct key set stays small at any scale — the reference's
+    in-memory ``unordered_set`` build (buzzdb_lab1.cpp:524-547).
+    ``hint='auto'`` is for fact-fact edges (orders→lineitem): a fact
+    key set grows with the data (billions of keys at 100 TB), so the
+    choice is left to AQE / autoBroadcastJoinThreshold, which picks a
+    shuffled hash join once the build side stops fitting.
     """
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
-    return fact.join(F.broadcast(keys), on=fact_key, how="left_semi")
+    if hint == "broadcast":
+        return F.broadcast(keys)
+    return keys
+
+
+def semi_filter(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hint: str = "auto",
+) -> DataFrame:
+    """Keep fact rows whose key exists in dim (left-semi join).
+
+    Mirrors buzzdb_lab1.cpp:207-213 (build) + :251-252 (probe). The
+    build side is the *distinct key projection*, never the full dim.
+    """
+    return fact.join(
+        _keys(dim, dim_key, fact_key, hint), on=fact_key, how="left_semi"
+    )
 
 
 def anti_filter(
-    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hint: str = "auto",
 ) -> DataFrame:
     """Fact rows whose key is missing from dim (dangling FKs)."""
-    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
-    return fact.join(F.broadcast(keys), on=fact_key, how="left_anti")
+    return fact.join(
+        _keys(dim, dim_key, fact_key, hint), on=fact_key, how="left_anti"
+    )
 
 
 def dangling_keys(

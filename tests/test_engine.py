@@ -118,6 +118,61 @@ def test_m3_cascading_rename_atomic(engine):
     assert users[1] == "alice2"
 
 
+def test_m1_mixed_sign_batch_clamps_net_sum(engine, spark):
+    """Documented divergence from the reference's sequential clamp:
+    one batch clamps the NET sum (post 10 has views=5; [-10, +3] nets
+    -7 → clamp → 0, where sequential application would give 3)."""
+    deltas = spark.createDataFrame([(10, -10), (10, 3)], "id int, delta int")
+    engine.update_post_views(deltas, persist=False)
+    views = {r["id"]: r["views"] for r in engine.tables["posts"].collect()}
+    assert views[10] == 0
+
+
+def test_restart_after_single_table_mutation_reads_all_tables(engine, spark):
+    """The load seeds a full snapshot, so a restart after a history
+    that only ever mutated posts still serves users/engagements (and
+    ri_report / queries work) — the partial-manifest restart bug."""
+    deltas = spark.createDataFrame([(10, 1)], "id int, delta int")
+    engine.update_post_views(deltas)  # only 'posts' in this commit
+    engine.load_snapshot()  # restart
+    assert set(engine.tables) == {"users", "posts", "engagements"}
+    assert engine.tables["users"].count() == 4
+    assert engine.tables["engagements"].count() == 6
+    assert engine.ri_report().filter("dangling_count > 0").count() == 0
+    rows = [(r["postId"], r["comment"]) for r in
+            engine.get_all_user_comments(1).collect()]
+    assert rows == [(10, "thanks"), (11, "cool")]
+
+
+def test_m2_persisted_append_is_o_batch(engine, spark):
+    """An append commit must ADD a manifest file entry, never rewrite
+    the table's prior files (O(batch) vs O(table) at scale)."""
+    import os
+
+    store = engine.store
+    paths_before = list(store.tables()["engagements"])
+    files_before = {
+        os.path.join(p, f): os.path.getmtime(os.path.join(p, f))
+        for p in paths_before
+        for f in os.listdir(p)
+    }
+    batch = spark.createDataFrame(
+        [(300, 10, "dave", "like", "None", 3000)],
+        "id int, postId int, username string, type string, comment string, timestamp int",
+    )
+    engine.add_engagement_records(batch)
+    paths_after = store.tables()["engagements"]
+    # prior file list is a strict prefix; old files untouched on disk
+    assert paths_after[: len(paths_before)] == paths_before
+    assert len(paths_after) == len(paths_before) + 1
+    for f, mtime in files_before.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime
+    # reload round-trip sees old + new rows
+    engine.load_snapshot()
+    ids = {r["id"] for r in engine.tables["engagements"].collect()}
+    assert 300 in ids and len(ids) == 7
+
+
 def test_snapshot_isolation(engine):
     # Readers hold an immutable snapshot while a writer commits
     # (reference Test 10, buzzdb_lab1.cpp:1552-1601).
