@@ -31,8 +31,10 @@ HEADLINE = [
     "events_sessionize",
     "m1_apply_price_deltas",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "text_quality_score",
     "sim_topk_bruteforce",
+    "sim_topk_lsh",
 ]
 
 
@@ -44,16 +46,27 @@ def main() -> None:
     spark = build_session("bench")
     qs = entry.queries()
 
-    # Warm the JVM/codegen once on the smallest scale so per-query
-    # numbers measure execution, not first-call compilation.
-    try:
-        qs["q_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
-    except Exception:
-        pass
+    # Warm the JVM + whole-stage codegen per plan shape on the
+    # smallest scale so per-query numbers measure execution, not
+    # first-call compilation (the wide LSH plans cost ~8s to compile,
+    # ~3s to run at sf0.1 — compilation is a per-plan constant, not a
+    # per-row cost, so it does not belong in a throughput metric).
+    for name in HEADLINE:
+        if name in qs:
+            try:
+                qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     per_query: dict[str, float] = {}
+    skipped = [n for n in HEADLINE if n not in qs]
+    for name in skipped:
+        # Never silently shrink the headline: a missing query is a
+        # coverage lie if it isn't visible in the output.
+        print(f"bench: HEADLINE query not implemented, skipping: {name}",
+              file=sys.stderr)
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -63,17 +76,16 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if skipped:
+        out["skipped"] = skipped
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

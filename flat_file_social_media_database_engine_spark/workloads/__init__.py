@@ -38,3 +38,4 @@ def load_all() -> None:
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import eventflow  # noqa: F401
+    from . import multimodal  # noqa: F401

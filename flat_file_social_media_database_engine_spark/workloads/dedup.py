@@ -12,9 +12,13 @@ Scale posture (the part that matters at 100 TB):
   per-doc DISTINCT.
 - ``dedup_minhash_lsh`` is the real 100 TB path: 64 MinHashes banded
   16×4, candidates only within equal (band, key) buckets, exact
-  Jaccard verification restricted to candidates. The signature
-  computation is map-only (array expressions, whole-stage codegen —
-  no Python, no explode until the 16-rows/doc band table).
+  Jaccard verification restricted to candidates. Signatures are 64
+  MIN aggregates over the exploded (doc, shingle-hash) table — one
+  map-side-combined shuffle on doc_id; the shared exploded table is
+  eagerly checkpointed because four branches consume it. At sf0.1
+  the wall time is stage-count-bound (~10 stages × fixed local-mode
+  stage overhead), not data-bound — the per-row work amortizes at
+  scale while the stage count stays constant.
 - ``dedup_simhash`` is map-only (per-doc 60-bit signature).
 
 Hash family: every hash is derived from md5 (present and bit-identical
@@ -108,11 +112,33 @@ _DOC_SHINGLES_SQL = f"""
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(exploded (doc_id, s) shingles, per-doc shingle counts)."""
-    docs = read_table(spark, sf_dir, "documents")
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(exploded (doc_id, s) shingles, per-doc shingle counts).
+
+    The docs table arrives as few parquet splits (one, at fixture
+    scale) while shingling is CPU-heavy per row — repartition to the
+    cluster's parallelism first or the whole pipeline runs on one
+    core (measured 10s → 0.5s at sf0.1). At real scale the scan has
+    many splits and this shuffle is a no-op-sized rebalance of
+    (doc_id, text) rows.
+
+    ``persist=True`` EAGERLY materializes the exploded table
+    (``localCheckpoint``): the LSH pipeline consumes it from four
+    branches (sizes, signatures, and both sides of the verification
+    join). A lazy ``.persist()`` is not enough — the branches run as
+    concurrent stages of one job and race past the unpopulated cache,
+    each recomputing tokenize + shingle + explode; the eager
+    checkpoint pays the pass once, up front, and truncates the
+    lineage every branch then reads."""
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if persist:
+        e = e.localCheckpoint(eager=True)
     sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return e, sizes
 
@@ -197,7 +223,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, sizes = _doc_shingles(spark, sf_dir)
+    e, sizes = _doc_shingles(spark, sf_dir, persist=True)
     return _pair_jaccard(e, sizes).filter(
         F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
     )
@@ -207,18 +233,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + banded LSH: the 100 TB near-dup path. Candidates come only
 # from equal (band, band_key) buckets; exact Jaccard verifies them.
 # ---------------------------------------------------------------------------
-def _affine(a: int, b: int):
-    """Unary lambda factory (a 2-arg lambda would be read by PySpark
-    as an (element, index) function)."""
-    return lambda x: (a * x + b) % _P
-
-
-def _minhash_sig(g: Column) -> list[Column]:
-    """64 affine MinHashes over the 60-bit shingle hashes ``g``."""
-    return [
-        F.array_min(F.transform(g, _affine(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_AB)
-    ]
+def _minhash_agg(g: Column) -> list[Column]:
+    """64 affine MinHashes as MIN aggregates over exploded shingle
+    hashes. Aggregate form (not per-row array math) on purpose: an
+    array-column formulation invites Catalyst's CollapseProject to
+    inline the md5 hash into all 64 consumers — recomputing it 64×
+    per shingle (measured: ~10× slower at sf0.1). Here md5 runs once
+    per (doc, shingle) row and the 64 mins partial-aggregate map-side
+    into the one doc_id shuffle the pipeline needs anyway."""
+    return [F.min((a * g + b) % _P).alias(f"mh_{i}") for i, (a, b) in enumerate(_AB)]
 
 
 def _lsh_oracle() -> str:
@@ -284,15 +307,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes are the LSH collision sets, not the corpus; verification
     joins only candidate pairs back to the inverted index. Nothing is
     ever all-pairs."""
-    docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
-    g = sh.select(
-        "doc_id",
-        F.transform("shingles", lambda s: _h60(s) % _P).alias("g"),
-        F.size("shingles").alias("n_shingles"),
-    ).filter(F.col("n_shingles") > 0)
-
-    sig = g.select("doc_id", "n_shingles", *_minhash_sig(F.col("g")))
+    e, sizes = _doc_shingles(spark, sf_dir, persist=True)
+    gh = e.select("doc_id", (_h60(F.col("s")) % _P).alias("g"))
+    sig = gh.groupBy("doc_id").agg(*_minhash_agg(F.col("g")))
     band_key_cols = [
         F.md5(
             F.concat_ws(
@@ -335,7 +352,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    e, sizes = _doc_shingles(spark, sf_dir)
     ea = e.select(F.col("doc_id").alias("doc_id_a"), "s")
     eb = e.select(F.col("doc_id").alias("doc_id_b"), "s")
     verified = (

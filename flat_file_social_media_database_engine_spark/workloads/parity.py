@@ -353,3 +353,87 @@ def m3_rekey_cascade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer, [(orders, "o_custkey")], "c_custkey", 7, 1000007
     )
     return facts[0].select(*orders.columns)
+
+
+# ---------------------------------------------------------------------------
+# P6/P7 — exact 6-char-class trim + strict cast-or-drop, driver-checked
+# (reference trim buzzdb_lab1.cpp:131-141, to_int :144-154; pytest
+# covers the CSV loader path, this twin runs the SAME rules through
+# the oracle). Dirty strings are synthesized deterministically from
+# o_orderkey: every 3rd key gets a corrupting suffix that must fail
+# the strict parse; the rest get the full whitespace-class padding
+# that must trim away.
+# ---------------------------------------------------------------------------
+@query(
+    "p6_p7_trim_strict_cast",
+    oracle="""
+    WITH dirty AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0
+                  THEN '  ' || CAST(o_orderkey AS VARCHAR) || 'x '
+                  ELSE chr(9) || chr(11) || CAST(o_orderkey AS VARCHAR)
+                       || chr(10) || chr(13) || chr(12) || ' '
+             END AS s
+      FROM orders
+    ),
+    parsed AS (
+      SELECT TRY_CAST(
+               regexp_replace(s, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$',
+                              '', 'g')
+               AS BIGINT) AS v
+      FROM dirty
+    )
+    SELECT count(*) AS n_total,
+           count(v) AS n_valid,
+           CAST(sum(v) AS BIGINT) AS sum_valid
+    FROM parsed
+    """,
+)
+def p6_p7_trim_strict_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    dirty = orders.select(
+        F.when(
+            key % 3 == 0, F.concat(F.lit("  "), key.cast("string"), F.lit("x "))
+        )
+        .otherwise(
+            F.concat(
+                F.lit("\t\x0b"), key.cast("string"), F.lit("\n\r\f ")
+            )
+        )
+        .alias("s")
+    )
+    trimmed = F.regexp_replace(
+        "s", r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$", ""
+    )
+    parsed = dirty.select(trimmed.try_cast("bigint").alias("v"))
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("v").alias("n_valid"),
+        F.sum("v").alias("sum_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5 — persisted snapshot round-trip, driver-checked: write part
+# through the SnapshotStore (commit + pointer swap), read the
+# published version back, return its contents. The oracle is the
+# original table — equality proves the store is lossless.
+# ---------------------------------------------------------------------------
+@query(
+    "s5_snapshot_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    """,
+)
+def s5_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.snapshots import SnapshotStore
+
+    part = read_table(spark, sf_dir, "part")
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="snap_rt_"))
+    store.commit({"part": part})
+    return store.read("part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )

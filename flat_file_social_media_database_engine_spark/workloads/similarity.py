@@ -160,6 +160,9 @@ def _signatures(spark: SparkSession, vecs: DataFrame, id_col: str) -> DataFrame:
     hp = spark.createDataFrame(
         _HYPERPLANES, "t int, bit int, h array<double>"
     )
+    # vectors arrive as few splits; the signature pass is CPU-bound
+    # (T*B dots per vector) — spread it across the cluster first.
+    vecs = vecs.repartition(spark.sparkContext.defaultParallelism)
     signs = (
         vecs.crossJoin(F.broadcast(hp))
         .select(
