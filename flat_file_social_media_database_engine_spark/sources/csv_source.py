@@ -85,8 +85,17 @@ def read_csv_strict(
     # Strict int parse; failures null out and the row drops (rule 6).
     # Blank lines (rule 2) parse as all-null and are dropped by the
     # same predicate — every table's key column is an int column.
+    # try_cast alone is LOOSER than the reference's full-string parse
+    # ('5.7' casts to 5, '1e3' to 1000) — gate on the exact integer
+    # grammar first; overflow still nulls out via try_cast (the
+    # reference's out-of-range stoi failure).
     for c in int_columns:
-        df = df.withColumn(c, F.col(c).try_cast("int"))
+        df = df.withColumn(
+            c,
+            F.when(
+                F.col(c).rlike(r"^[+-]?[0-9]+$"), F.col(c).try_cast("int")
+            ).otherwise(F.lit(None)),
+        )
     for c in int_columns:
         df = df.filter(F.col(c).isNotNull())
     # Cast to the declared schema types.

@@ -142,3 +142,41 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rollup (1-hour windows every 30 minutes): each event
+# lands in exactly two windows. Batch twin of F.window(size, slide);
+# the oracle materializes the two covering window starts per event.
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_rollup",
+    oracle="""
+    SELECT ws AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes']) AS t(ws)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

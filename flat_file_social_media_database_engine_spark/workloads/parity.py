@@ -437,3 +437,59 @@ def s5_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read("part").select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# E2 — set difference (Spark except surface; the complement of E1's
+# intersect): customers with finished ('F') orders but no open ('O')
+# ones. (Every FK edge in the fixture is fully covered, so a plain
+# customers-minus-orderers difference would be empty.)
+# ---------------------------------------------------------------------------
+@query(
+    "e2_except_custkeys",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def e2_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").alias("c_custkey")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(ck)
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(ck)
+    # subtract = EXCEPT (set semantics): one open order disqualifies
+    # the customer entirely (exceptAll's bag semantics would not).
+    return finished.subtract(open_)
+
+
+# ---------------------------------------------------------------------------
+# A4 — existence/membership probes (reference Test 1 golden-member
+# checks, buzzdb_lab1.cpp:1116-1122): specific keys must exist after
+# load; returned as one row of boolean-as-count facts.
+# ---------------------------------------------------------------------------
+@query(
+    "a4_existence_checks",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer WHERE c_custkey = 1) AS has_cust_1,
+      (SELECT count(*) FROM orders   WHERE o_orderkey = 1) AS has_order_1,
+      (SELECT count(*) FROM part     WHERE p_partkey  = 1) AS has_part_1,
+      (SELECT count(*) FROM region   WHERE r_name = 'EUROPE') AS has_europe
+    """,
+)
+def a4_existence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    region = read_table(spark, sf_dir, "region")
+
+    def probe(df: DataFrame, cond, alias: str) -> DataFrame:
+        return df.filter(cond).agg(F.count(F.lit(1)).alias(alias))
+
+    return (
+        probe(customer, F.col("c_custkey") == 1, "has_cust_1")
+        .crossJoin(probe(orders, F.col("o_orderkey") == 1, "has_order_1"))
+        .crossJoin(probe(part, F.col("p_partkey") == 1, "has_part_1"))
+        .crossJoin(probe(region, F.col("r_name") == "EUROPE", "has_europe"))
+    )

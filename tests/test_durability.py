@@ -1,0 +1,76 @@
+"""Crash-durability semantics of the snapshot store (reference Test
+11, buzzdb_lab1.cpp:1603-1648: a reader must never observe a torn
+write). The store's invariant is stronger: the pointer file is the
+only mutable object, so ANY crash before the pointer swap leaves the
+published snapshot bit-identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from flat_file_social_media_database_engine_spark.plans.snapshots import SnapshotStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    s.commit({"t": df})
+    return s
+
+
+def test_crash_before_pointer_swap_preserves_published_snapshot(store, spark):
+    """Simulate a crash mid-commit: a v2 directory exists (data +
+    manifest fully written) but the pointer was never swapped. Readers
+    must still resolve v1, and a later successful commit must skip the
+    orphaned version number."""
+    v1 = store.current_version()
+    before = sorted(tuple(r) for r in store.read("t").collect())
+
+    # hand-craft the torn commit: full version dir, no pointer swap
+    vdir = os.path.join(store.root, f"v{v1 + 1:05d}")
+    os.makedirs(vdir)
+    spark.createDataFrame([(99, "torn")], "id int, v string").write.parquet(
+        os.path.join(vdir, "t")
+    )
+    with open(os.path.join(vdir, "_MANIFEST.json"), "w") as f:
+        json.dump({"version": v1 + 1, "tables": {"t": [os.path.join(vdir, "t")]}}, f)
+
+    assert store.current_version() == v1
+    assert sorted(tuple(r) for r in store.read("t").collect()) == before
+
+    # recovery: the next commit publishes OVER the orphan (single-
+    # writer store; same version slot is rewritten, then pointed at)
+    df = spark.createDataFrame([(3, "c")], "id int, v string")
+    v_next = store.commit({"t": df})
+    assert v_next == v1 + 1
+    assert sorted(tuple(r) for r in store.read("t").collect()) == [(3, "c")]
+
+
+def test_partial_data_write_without_manifest_is_invisible(store, spark):
+    """Crash even earlier: data files half-written, no manifest. The
+    version is unreferenced garbage; reads and later commits are
+    unaffected."""
+    v1 = store.current_version()
+    vdir = os.path.join(store.root, f"v{v1 + 1:05d}")
+    os.makedirs(os.path.join(vdir, "t"))
+    with open(os.path.join(vdir, "t", "part-00000.parquet.tmp"), "wb") as f:
+        f.write(b"\x00garbage")  # torn parquet
+    assert store.current_version() == v1
+    assert store.read("t").count() == 2
+
+
+def test_pointer_swap_is_atomic_last_wins(store, spark):
+    """Two sequential commits: the pointer always names a complete
+    version; an old reader's DataFrame keeps reading its immutable
+    files (snapshot isolation across commits)."""
+    old_reader = store.read("t")
+    store.commit({"t": spark.createDataFrame([(10, "x")], "id int, v string")})
+    store.commit({"t": spark.createDataFrame([(20, "y")], "id int, v string")})
+    assert [tuple(r) for r in store.read("t").collect()] == [(20, "y")]
+    # old reader still sees v1 (files are immutable, never deleted)
+    assert sorted(tuple(r) for r in old_reader.collect()) == [(1, "a"), (2, "b")]
