@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_score",
+    "pipeline_clean_corpus",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
 ]

@@ -114,6 +114,17 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via two windows over partitionBy(user_id).
+
+    Skew posture: a hot user is an unsplittable key for window
+    functions (AQE skew-join splitting does not apply). The always-on
+    mitigation is the streaming twin (streaming/events.py uses
+    session_window whose state is per-(user, open-session), not
+    per-user-history); for pathological batch skew the two-phase
+    variant — sessionize within (user_id, day) then merge boundary
+    sessions whose gap spans midnight — caps any single task at one
+    user-day. Not needed at fixture scale; noted for the 100 TB plan.
+    """
     events = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select(
