@@ -336,3 +336,45 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__norm")
         .select("keep_doc_id", "group_size", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword tokenization: alpha runs / digit runs / single
+# non-alphanumeric marks (the GPT-2 pre-tokenizer shape, minus byte
+# fallback) — the token-count signal LLM data budgets are priced in.
+# ---------------------------------------------------------------------------
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_BPE_RE}') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_bpe,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS n_covered_chars
+    FROM t
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword-ish token counts via one regexp_extract_all —
+    map-only, codegen, and the regex is anchored per-match so the
+    scan cost is linear in characters."""
+    docs = read_table(spark, sf_dir, "documents")
+    # idx=0 = whole match (Spark defaults to capture group 1)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    zero = F.lit(0).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_bpe"),
+        F.aggregate(toks, zero, lambda a, x: a + F.length(x)).alias(
+            "n_covered_chars"
+        ),
+    )

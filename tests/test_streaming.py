@@ -65,3 +65,98 @@ def test_json_extract_rollup_totals_match_batch(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w
+
+
+def test_multi_batch_incremental_equals_batch(spark, tmp_path):
+    """Split events into 3 files and stream them one file per
+    trigger: 3 micro-batches of incremental state updates must land
+    on the same final answer as one batch pass."""
+    from pyspark.sql import functions as F
+
+    import glob
+    import shutil
+
+    events = BE.read_table(spark, SF, "events")
+    d = tmp_path / "drop_zone"
+    (d / "events.parquet").mkdir(parents=True)
+    for i in range(3):
+        # the file source lists a FLAT directory (non-partition
+        # subdirs are ignored) — stage each batch as one file in it
+        staging = tmp_path / f"stage_{i}"
+        (
+            events.filter(F.col("event_id") % 3 == i)
+            .withColumn("ts", F.unix_micros("ts") * 1000)  # back to nanos-as-long
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, str(d / "events.parquet" / f"batch_{i}.parquet"))
+    # read the staged directory as a stream, one file per trigger
+    stream = SE.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    got = _run_stream(spark, SE.tumbling_counts(stream), "t_incremental")
+    want = BE.events_hourly_rollup(spark, SF)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """Append-mode + watermark: an event arriving after the watermark
+    has passed its window's close must not reopen the window. File 1
+    advances event time far ahead; file 2 carries the straggler."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "late_zone" / "events.parquet"
+    rows_on_time = [(1, "2024-01-01 00:10:00"), (2, "2024-01-01 06:00:00")]
+    rows_late = [(3, "2024-01-01 00:20:00")]  # 6h late, watermark is 1h
+
+    def write(rows, name):
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(rows, "event_id long, ts_s string").select(
+            "event_id",
+            (F.unix_micros(F.to_timestamp("ts_s")) * 1000).alias("ts"),
+            F.lit(7).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        staging = d.parent / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        d.mkdir(parents=True, exist_ok=True)
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, str(d / f"{name}.parquet"))  # flat file drop
+
+    write(rows_on_time, "f0")
+    stream = SE.read_events_stream(spark, str(d.parent), max_files_per_trigger=1)
+    agg = SE.tumbling_counts(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # let the first file commit and the watermark advance past 05:00
+        for _ in range(60):
+            if q.lastProgress and q.lastProgress["batchId"] >= 1:
+                break
+            _t.sleep(0.5)
+        write(rows_late, "f1")  # straggler arrives
+        for _ in range(60):
+            p = q.lastProgress
+            if p and p["batchId"] >= 3:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    out = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    # the 00:00 window closed with ONE event; the late one was dropped
+    assert ("2024-01-01T00:00:00", 1) in out
+    assert ("2024-01-01T00:00:00", 2) not in out
