@@ -129,6 +129,38 @@ class Engine:
                 self.tables[n] = self.store.read(n)
         self._register()
 
+    # -- export (reference's durable format) ---------------------------------
+    def export_csv(self, out_dir: str) -> None:
+        """Write every table back to header CSVs in the reference's
+        column order — the flat-file format IS the reference's durable
+        representation, and its Test 13 asserts the persisted files
+        stay strictly re-parseable (buzzdb_lab1.cpp:1677-1709). Tested
+        by an export → re-load → equality round-trip.
+
+        Single-file-per-table (coalesce(1) + rename) mirrors the
+        reference's one-CSV-per-table layout; at scale you would drop
+        the coalesce and export a sharded directory instead."""
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        os.makedirs(out_dir, exist_ok=True)
+        for name, df in self.tables.items():
+            staging = tempfile.mkdtemp(prefix=f"csv_{name}_")
+            (
+                df.coalesce(1)
+                .write.mode("overwrite")
+                .option("header", True)
+                .option("emptyValue", "")
+                # no quote option: the format forbids commas/quotes in
+                # fields, so the writer never needs to quote
+                .csv(staging)
+            )
+            part = glob.glob(os.path.join(staging, "part-*.csv"))[0]
+            shutil.move(part, os.path.join(out_dir, f"{name}.csv"))
+            shutil.rmtree(staging, ignore_errors=True)
+
     # -- invariants ----------------------------------------------------------
     def ri_report(self) -> DataFrame:
         """J5 sweep (check_no_dangling_post_ids,

@@ -157,5 +157,11 @@ def load_social_tables(
         posts = semi_filter(posts, users, "username", "username")
         eng = semi_filter(eng, posts, "postId", "id")
         eng = semi_filter(eng, users, "username", "username")
-        dfs["posts"], dfs["engagements"] = posts, eng
+        # joins hoist the join key to column 0 — restore the schema's
+        # positional order (the CSV format is positional; reloading an
+        # export depends on it)
+        dfs["posts"] = posts.select([f.name for f in SOCIAL_SCHEMAS["posts"].fields])
+        dfs["engagements"] = eng.select(
+            [f.name for f in SOCIAL_SCHEMAS["engagements"].fields]
+        )
     return dfs
