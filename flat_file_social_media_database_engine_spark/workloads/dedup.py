@@ -301,14 +301,25 @@ def _lsh_oracle() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle → MinHash(64) → band(16×4) → bucket-join → verify.
 
-    Plan shape at scale: signature computation is map-only array math
-    inside codegen; the band table is 16 rows/doc of (band, 32-char
-    key); candidate generation shuffles on (band, band_key) — bucket
-    sizes are the LSH collision sets, not the corpus; verification
-    joins only candidate pairs back to the inverted index. Nothing is
-    ever all-pairs."""
-    e, sizes = _doc_shingles(spark, sf_dir, persist=True)
-    gh = e.select("doc_id", (_h60(F.col("s")) % _P).alias("g"))
+    Plan shape at scale: one eagerly-checkpointed pass builds the
+    per-doc shingle ARRAYS (compact: one row per doc); signatures are
+    64 MIN aggregates over the exploded hashes (one map-side-combined
+    shuffle); candidate generation shuffles (band, band_key) only —
+    bucket sizes are the LSH collision sets, not the corpus; and
+    verification is two joins of the SMALL candidate-pair set against
+    the array table with `array_intersect` doing the common count
+    per-row — no second pass over the inverted index, no extra
+    group-by. Nothing is ever all-pairs."""
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = docs.select(
+        "doc_id", _shingles(_tokens()).alias("shingles")
+    ).localCheckpoint(eager=True)
+
+    gh = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", (_h60(F.col("s")) % _P).alias("g")
+    )
     sig = gh.groupBy("doc_id").agg(*_minhash_agg(F.col("g")))
     band_key_cols = [
         F.md5(
@@ -352,19 +363,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ea = e.select(F.col("doc_id").alias("doc_id_a"), "s")
-    eb = e.select(F.col("doc_id").alias("doc_id_b"), "s")
-    verified = (
-        cand.join(ea, "doc_id_a")
-        .join(eb, ["doc_id_b", "s"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    sha = sh.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
     )
-    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    shb = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
     return (
-        verified.join(na, "doc_id_a")
-        .join(nb, "doc_id_b")
+        cand.join(sha, "doc_id_a")
+        .join(shb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("common"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
+        )
         .withColumn(
             "jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
         )
