@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import read_table
-from . import query
+from . import ORACLE, query
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
@@ -120,10 +120,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (AQE skew-join splitting does not apply). The always-on
     mitigation is the streaming twin (streaming/events.py uses
     session_window whose state is per-(user, open-session), not
-    per-user-history); for pathological batch skew the two-phase
-    variant — sessionize within (user_id, day) then merge boundary
-    sessions whose gap spans midnight — caps any single task at one
-    user-day. Not needed at fixture scale; noted for the 100 TB plan.
+    per-user-history); for pathological batch skew use
+    ``events_sessionize_twophase`` below — same output (checked
+    against the same oracle), but no window ever spans one user's
+    full raw history.
     """
     events = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -190,4 +190,99 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase sessionization — the skew-capped plan for 100 TB. The
+# plain form windows over partitionBy(user_id), so one hot user is an
+# unsplittable task. Here no window ever spans a user's full raw
+# history: phase 1 sessionizes WITHIN (user, day) chunks; phase 2
+# fixes each chunk's first-event flag and renumbers using windows
+# over the per-(user, day) AGGREGATE table (rows = users × active
+# days — tiny next to the event table). Output (and oracle) are
+# identical to events_sessionize.
+# ---------------------------------------------------------------------------
+@query("events_sessionize_twophase", oracle=ORACLE["events_sessionize"])
+def events_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", "ts", "event_id", F.date_trunc("day", "ts").alias("chunk")
+    )
+
+    # phase 1: local flags within (user, day) — the skew-capped window
+    w_local = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "chunk",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_local)
+                > F.lit(SESSION_GAP_US)
+            )
+            | F.lag("ts").over(w_local).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_local"),
+        F.row_number().over(w_local).alias("rn_local"),
+    )
+
+    # phase 2a: per-chunk boundary facts (small table: user × day)
+    chunks = flagged.groupBy("user_id", "chunk").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.sum("is_new_local").alias("n_new_local"),
+    )
+    w_user = Window.partitionBy("user_id").orderBy("chunk")
+    chunks = chunks.withColumn("prev_last_us", F.lag("last_us").over(w_user))
+    # does this chunk's first event CONTINUE the previous chunk's
+    # session? (gap ≤ threshold across the boundary)
+    chunks = chunks.withColumn(
+        "first_continues",
+        F.col("prev_last_us").isNotNull()
+        & (F.col("first_us") - F.col("prev_last_us") <= F.lit(SESSION_GAP_US)),
+    )
+    # sessions actually STARTED in this chunk, after boundary fix
+    chunks = chunks.withColumn(
+        "n_new",
+        F.col("n_new_local") - F.when(F.col("first_continues"), 1).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = chunks.select(
+        "user_id",
+        "chunk",
+        "first_continues",
+        F.coalesce(F.sum("n_new").over(w_cum), F.lit(0)).alias("sessions_before"),
+    )
+
+    # phase 2b: join the small chunk table back; local running sum of
+    # (fixed) flags + sessions_before = the global session number
+    w_run = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fixed = (
+        flagged.join(chunks, ["user_id", "chunk"])
+        .withColumn(
+            "is_new",
+            F.when(
+                (F.col("rn_local") == 1) & F.col("first_continues"), 0
+            ).otherwise(F.col("is_new_local")),
+        )
+        .withColumn(
+            "session_id", F.col("sessions_before") + F.sum("is_new").over(w_run)
+        )
+    )
+    return fixed.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
     )
