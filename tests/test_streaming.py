@@ -5,7 +5,6 @@ they mirror (complete-mode memory sink, AvailableNow trigger).
 
 from __future__ import annotations
 
-import pytest
 
 from flat_file_social_media_database_engine_spark.streaming import events as SE
 from flat_file_social_media_database_engine_spark.workloads import eventflow as BE
