@@ -1,0 +1,94 @@
+"""Property-based checks of operator semantics beyond the loader:
+M1 batch-delta application vs a pure-Python model, and the LSH
+near-dup containment property (LSH output ⊆ exact-Jaccard output,
+with guaranteed recall on near-identical pairs).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flat_file_social_media_database_engine_spark.operators.mutations import (
+    apply_view_deltas,
+)
+from flat_file_social_media_database_engine_spark.workloads import dedup as D
+
+_post_ids = st.integers(min_value=1, max_value=6)
+_deltas = st.lists(
+    st.tuples(_post_ids, st.integers(min_value=-20, max_value=20)),
+    min_size=0,
+    max_size=12,
+)
+_views = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=6, max_size=6
+)
+
+
+@given(views=_views, deltas=_deltas)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_apply_view_deltas_matches_net_sum_model(spark, views, deltas):
+    """Documented batch semantics: views' = max(0, views + net_delta)
+    for keyed rows, identity for others."""
+    posts = spark.createDataFrame(
+        [(i + 1, f"c{i}", f"u{i}", v) for i, v in enumerate(views)],
+        "id int, content string, username string, views int",
+    )
+    if deltas:
+        ddf = spark.createDataFrame(deltas, "id int, delta int")
+    else:
+        ddf = spark.createDataFrame([], "id int, delta int")
+    got = {
+        r["id"]: r["views"] for r in apply_view_deltas(posts, ddf).collect()
+    }
+    net: dict[int, int] = {}
+    for pid, dv in deltas:
+        net[pid] = net.get(pid, 0) + dv
+    want = {
+        i + 1: (max(0, v + net[i + 1]) if i + 1 in net else v)
+        for i, v in enumerate(views)
+    }
+    assert got == want
+
+
+_doc_words = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=5,
+    max_size=30,
+)
+
+
+@given(docs=st.lists(_doc_words, min_size=2, max_size=8))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsh_pairs_subset_of_exact_with_nearid_recall(
+    spark, tmp_path_factory, docs
+):
+    """For ANY corpus: (a) MinHash-LSH output is a subset of the exact
+    n-gram-Jaccard output (verification re-scores candidates with the
+    same threshold), and (b) an appended EXACT duplicate of doc 0 is
+    always recovered (identical shingle sets collide in every band)."""
+    rows = [(i, " ".join(w), "en", "s", 1) for i, w in enumerate(docs)]
+    rows.append((999, " ".join(docs[0]), "en", "s", 1))  # exact dup of 0
+    d = tmp_path_factory.mktemp("prop_lsh")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.dedup_ngram_jaccard(spark, str(d)).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.dedup_minhash_lsh(spark, str(d)).collect()
+    }
+    assert lsh <= exact
+    assert (0, 999) in lsh
