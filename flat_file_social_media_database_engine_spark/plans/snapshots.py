@@ -88,11 +88,21 @@ class SnapshotStore:
         return {n: self.spark.read.parquet(*ps) for n, ps in self.tables().items()}
 
     # -- write ------------------------------------------------------------
-    def commit(self, changed: dict[str, DataFrame]) -> int:
+    def commit(
+        self,
+        changed: dict[str, DataFrame],
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> int:
         """Copy-on-write REPLACE: each changed table's file list is
         rewritten to one fresh directory (updates / renames / loads).
-        Unchanged tables carry forward by reference."""
-        return self._publish(changed, append=False)
+        Unchanged tables carry forward by reference.
+
+        ``partition_by`` maps table name → partition columns: the
+        rewrite lays the table out hive-partitioned so downstream
+        scans with predicates on those columns prune whole directories
+        (the 100 TB layout lever — e.g. events by event date, facts by
+        key range)."""
+        return self._publish(changed, append=False, partition_by=partition_by)
 
     def append(self, appended: dict[str, DataFrame]) -> int:
         """O(batch) APPEND: write only the new rows as an extra
@@ -100,7 +110,12 @@ class SnapshotStore:
         (Iceberg/Delta-style add-files commit, single-writer case)."""
         return self._publish(appended, append=True)
 
-    def _publish(self, changed: dict[str, DataFrame], append: bool) -> int:
+    def _publish(
+        self,
+        changed: dict[str, DataFrame],
+        append: bool,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> int:
         old_tables = self.tables()
         version = self.current_version() + 1
         vdir = os.path.join(self.root, f"v{version:05d}")
@@ -109,7 +124,10 @@ class SnapshotStore:
         new_tables = {n: list(ps) for n, ps in old_tables.items()}
         for name, df in changed.items():
             path = os.path.join(vdir, name)
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            if partition_by and name in partition_by:
+                writer = writer.partitionBy(*partition_by[name])
+            writer.parquet(path)
             if append and name in new_tables:
                 new_tables[name] = new_tables[name] + [path]
             else:
