@@ -438,3 +438,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", hv.alias("hv")).select(
         "doc_id", out.alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination: corpus docs sharing any shingle with a
+# benchmark set (here: doc_id < 10 stands in for the eval set). The
+# inverted-index join touches only shingles the benchmark actually
+# contains — at 100 TB the benchmark side is tiny and broadcast, so
+# the scan of the corpus is one pass with a broadcast probe.
+# ---------------------------------------------------------------------------
+N_BENCHMARK = 10
+
+
+@query(
+    "dedup_contamination",
+    oracle=f"""
+    {_DOC_SHINGLES_SQL}
+    SELECT c.doc_id AS doc_id,
+           count(DISTINCT c.s) AS n_shared_shingles
+    FROM e c
+    JOIN (SELECT DISTINCT s FROM e WHERE doc_id < {N_BENCHMARK}) b
+      ON c.s = b.s
+    WHERE c.doc_id >= {N_BENCHMARK}
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents overlapping the benchmark's shingle set
+    (with the shared-shingle count as the contamination strength)."""
+    e, _ = _doc_shingles(spark, sf_dir)
+    bench = (
+        e.filter(F.col("doc_id") < N_BENCHMARK).select("s").distinct()
+    )
+    corpus = e.filter(F.col("doc_id") >= N_BENCHMARK)
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+    )

@@ -378,3 +378,99 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_covered_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality signal): fraction of
+# repeated 3-gram slots within each doc = 1 - distinct/total shingles.
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_shingle_slots,
+             CAST(CASE WHEN len(toks) >= 3
+                  THEN len(list_distinct(list_transform(
+                         range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))))
+                  ELSE 0 END AS BIGINT) AS n_distinct
+      FROM tok
+    )
+    SELECT doc_id, n_shingle_slots, n_distinct,
+           CASE WHEN n_shingle_slots = 0 THEN 0.0
+                ELSE (n_shingle_slots - n_distinct) / n_shingle_slots
+           END AS repetition_ratio
+    FROM m
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-shingle fraction per doc — the classic boilerplate /
+    looping-text filter signal. Map-only."""
+    from .dedup import SHINGLE_K, _shingles  # 3-gram shingles, shared defn
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    slots = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(0)).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        slots.alias("n_shingle_slots"),
+        F.size(_shingles(toks)).cast("bigint").alias("n_distinct"),
+    )
+    return m.select(
+        "doc_id",
+        "n_shingle_slots",
+        "n_distinct",
+        F.when(F.col("n_shingle_slots") == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("n_shingle_slots") - F.col("n_distinct"))
+            / F.col("n_shingle_slots")
+        )
+        .alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus stats — the mixture-weighting signal (how much
+# data each source contributes and at what quality).
+# ---------------------------------------------------------------------------
+@query(
+    "text_source_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT source, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM tok
+    GROUP BY source
+    """,
+)
+def text_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.size(_tokens()).cast("bigint").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
