@@ -233,15 +233,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + banded LSH: the 100 TB near-dup path. Candidates come only
 # from equal (band, band_key) buckets; exact Jaccard verifies them.
 # ---------------------------------------------------------------------------
-def _minhash_agg(g: Column) -> list[Column]:
-    """64 affine MinHashes as MIN aggregates over exploded shingle
-    hashes. Aggregate form (not per-row array math) on purpose: an
-    array-column formulation invites Catalyst's CollapseProject to
-    inline the md5 hash into all 64 consumers — recomputing it 64×
-    per shingle (measured: ~10× slower at sf0.1). Here md5 runs once
-    per (doc, shingle) row and the 64 mins partial-aggregate map-side
-    into the one doc_id shuffle the pipeline needs anyway."""
-    return [F.min((a * g + b) % _P).alias(f"mh_{i}") for i, (a, b) in enumerate(_AB)]
+def _minhash_sig_udf():
+    """Arrow-vectorized MinHash signatures: per doc, ``mh_i = min over
+    shingle-hashes g of (a_i*g + b_i) mod P`` for the 64-member affine
+    family — one ``array<long>`` out per row.
+
+    Why a pandas_udf and not SQL: the natural JVM formulations both
+    lose. 64 MIN aggregates over the exploded (doc, shingle-hash)
+    table need an explode + 64-way groupBy shuffle; a per-row array
+    expression invites Catalyst's CollapseProject to inline the md5
+    into all 64 consumers (measured ~10× slower). Here the shingle
+    hashes are computed ONCE JVM-side (``transform`` + md5), and the
+    64×n multiply-mod-min runs as one numpy broadcast +
+    ``minimum.reduceat`` per Arrow batch — map-only, no shuffle at
+    all (measured 7.0s → 4.4s for the full LSH pipeline at sf0.1;
+    results bit-identical, same family, same oracle). ``a*g + b``
+    stays < 2^63: a, g < P ≈ 2^30."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array([a for a, _ in _AB], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in _AB], dtype=np.int64)[:, None]
+
+    # no type hints: pd is function-local (see similarity._signatures)
+    @pandas_udf("array<long>")
+    def mh_sig(garr):
+        if not len(garr):
+            return pd.Series([], dtype=object)
+        lens = garr.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in garr])
+        H = (A * flat[None, :] + B) % _P  # (64, total_shingles)
+        bounds = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=bounds[1:])
+        mins = np.minimum.reduceat(H, bounds, axis=1)  # (64, n_docs)
+        return pd.Series(list(mins.T))
+
+    return mh_sig
 
 
 def _lsh_oracle() -> str:
@@ -303,12 +331,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: one eagerly-checkpointed pass builds the
     per-doc shingle ARRAYS (compact: one row per doc); signatures are
-    64 MIN aggregates over the exploded hashes (one map-side-combined
-    shuffle); candidate generation shuffles (band, band_key) only —
-    bucket sizes are the LSH collision sets, not the corpus; and
-    verification is two joins of the SMALL candidate-pair set against
-    the array table with `array_intersect` doing the common count
-    per-row — no second pass over the inverted index, no extra
+    MAP-ONLY (md5 shingle-hashes JVM-side, then one Arrow-vectorized
+    numpy pass per batch — see ``_minhash_sig_udf``), so the first
+    shuffle in the whole pipeline is the (band, band_key) candidate
+    bucket join — bucket sizes are the LSH collision sets, not the
+    corpus; verification is two joins of the SMALL candidate-pair set
+    against the array table with `array_intersect` doing the common
+    count per-row — no second pass over the inverted index, no extra
     group-by. Nothing is ever all-pairs."""
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -317,16 +346,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _shingles(_tokens()).alias("shingles")
     ).localCheckpoint(eager=True)
 
-    gh = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", (_h60(F.col("s")) % _P).alias("g")
+    # Docs with no shingles have no MinHash (empty min) — the agg
+    # formulation dropped them implicitly, map-only must filter.
+    garr = sh.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        F.transform("shingles", lambda s: _h60(s) % _P).alias("garr"),
     )
-    sig = gh.groupBy("doc_id").agg(*_minhash_agg(F.col("g")))
+    sig = garr.select("doc_id", _minhash_sig_udf()("garr").alias("mh"))
     band_key_cols = [
         F.md5(
             F.concat_ws(
                 "-",
                 *[
-                    F.col(f"mh_{band * ROWS_PER_BAND + r}").cast("string")
+                    F.col("mh")[band * ROWS_PER_BAND + r].cast("string")
                     for r in range(ROWS_PER_BAND)
                 ],
             )
