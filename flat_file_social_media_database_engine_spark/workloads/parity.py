@@ -209,6 +209,60 @@ def a3_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A3' — approx-distinct scale variant (SURVEY §2 A3 row: countDistinct
+# is an exact global dedup — one full shuffle of the key; at the
+# 100 TB tier the HLL++ sketch partial-aggregates map-side into
+# fixed-size state instead). The differential contract: the Spark
+# side emits the sketch estimate's relative error vs the exact count
+# as a WITHIN-TOLERANCE boolean (HLL++ at rsd=0.01 is deterministic
+# for fixed input), so the oracle — which has no HLL twin — checks
+# the exact counts and pins the tolerance verdict to TRUE.
+# ---------------------------------------------------------------------------
+_A3_RSD = 0.01  # HLL++ target relative standard deviation
+_A3_TOL = 0.05  # accepted |approx - exact| / exact (5 sigma)
+
+
+@query(
+    "a3_approx_distinct",
+    oracle=f"""
+    SELECT count(DISTINCT o_custkey) AS distinct_customers,
+           count(DISTINCT o_orderpriority) AS distinct_priorities,
+           CAST(TRUE AS BOOLEAN) AS custkey_within_tol,
+           CAST(TRUE AS BOOLEAN) AS priority_within_tol,
+           CAST({_A3_TOL} AS DOUBLE) AS tolerance
+    FROM orders
+    """,
+)
+def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def within(approx, exact):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+            <= F.lit(_A3_TOL)
+        )
+
+    return (
+        read_table(spark, sf_dir, "orders")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.countDistinct("o_orderpriority").alias("distinct_priorities"),
+            F.approx_count_distinct("o_custkey", rsd=_A3_RSD).alias("ac"),
+            F.approx_count_distinct("o_orderpriority", rsd=_A3_RSD).alias("ap"),
+        )
+        .select(
+            "distinct_customers",
+            "distinct_priorities",
+            within(F.col("ac"), F.col("distinct_customers")).alias(
+                "custkey_within_tol"
+            ),
+            within(F.col("ap"), F.col("distinct_priorities")).alias(
+                "priority_within_tol"
+            ),
+            F.lit(_A3_TOL).alias("tolerance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A5 — median (test harness median-of-5; buzzdb_lab1.cpp:1154-1157)
 # ---------------------------------------------------------------------------
 @query(

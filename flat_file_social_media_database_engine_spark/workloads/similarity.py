@@ -287,3 +287,132 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k: the inverted-file ANN path (coarse-quantize the base
+# vectors into centroid cells, probe only the query's nearest cells).
+# Unlike the LSH entry this one is FULLY oracle-checked: assignment,
+# probing, and re-scoring are all sequential-fold double arithmetic,
+# bit-identical across engines.
+#
+# Centroids here are data-sampled (vec_id < IVF_CENTROIDS) — the
+# stand-in for an offline k-means job; the query plan is what matters.
+# Scale posture: each base vector lands in exactly ONE cell, so the
+# candidate set is nprobe/C of the corpus per query (vs 100% for
+# brute force); at 100 TB the assignment pass becomes the Arrow
+# matmul pandas_udf (see `_signatures`) and the lists are written
+# bucketed by cell so a probe is partition pruning, not a shuffle.
+# ---------------------------------------------------------------------------
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+      FROM base WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    asn0 AS (
+      SELECT b.vec_id, c.cid,
+             {_dot_sql('b.embedding', 'c.ce')} / (b.nrm * c.cn) AS cos_c
+      FROM base b CROSS JOIN cents c
+    ),
+    asn AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cid) AS rnk
+      FROM asn0
+    ),
+    lists AS (
+      SELECT a.vec_id, a.cid AS cell, b.embedding, b.nrm
+      FROM asn a JOIN base b ON b.vec_id = a.vec_id
+      WHERE a.rnk = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.cid AS cell, q.embedding AS qe, q.nrm AS qn
+      FROM asn a JOIN base q ON q.vec_id = a.vec_id
+      WHERE a.vec_id < {N_QUERIES} AND a.rnk <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id, l.cell,
+             {_dot_sql('p.qe', 'l.embedding')} / (p.qn * l.nrm) AS cosine
+      FROM probes p JOIN lists l ON l.cell = p.cell
+      WHERE l.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cell, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cell, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_topk_ivf", oracle=_ivf_oracle())
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k: nearest-centroid lists, nprobe-cell
+    search, exact re-score of candidates. Recall vs the brute-force
+    baseline is pinned in tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
+    cents = base.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    asn = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            (_dot("embedding", "ce") / (F.col("nrm") * F.col("cn"))).alias("cos_c"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+            ),
+        )
+    )
+    lists = (
+        asn.filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+        .join(base, "vec_id")
+    )
+    probes = (
+        asn.filter((F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+        .join(
+            base.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
+        )
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            (_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cell", "cosine")
+    )

@@ -474,3 +474,124 @@ def text_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — the mixture-weighting sampler.
+# Each source gets a target keep-rate; a doc survives iff its 60-bit
+# md5 hash falls below rate * 2^60. Map-only, reproducible, and
+# stable under reruns/backfills (the property a 100 TB mixture build
+# needs: adding new files never changes which OLD docs survive, which
+# coin-flip `df.sample` cannot promise across partitionings).
+# ---------------------------------------------------------------------------
+_SAMPLE_SALT = "mix-v1"
+_H60_MAX = float(1 << 60)
+# keep-rate by source index mod 4: a stand-in mixture schedule
+# (e.g. keep all curated data, downsample crawl tiers).
+_SAMPLE_RATES = (1.0, 0.5, 0.25, 0.125)
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(_SAMPLE_RATES)
+    )
+    return (
+        f"CASE CAST(substr(source, 4) AS BIGINT) % {len(_SAMPLE_RATES)} "
+        f"{whens} END"
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CAST({_rate_case_sql()} AS DOUBLE) AS keep_rate,
+             CAST(('0x' || substr(md5('{_SAMPLE_SALT}-' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, source, keep_rate
+    FROM rated
+    WHERE h < keep_rate * {_H60_MAX}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold sampling at per-source rates. The hash is salted
+    so independent samplers over the same corpus decorrelate."""
+    docs = read_table(spark, sf_dir, "documents")
+    src_idx = F.substring("source", 4, 10).cast("bigint") % len(_SAMPLE_RATES)
+    rate = F.lit(None).cast("double")
+    for i, r in reversed(list(enumerate(_SAMPLE_RATES))):
+        rate = F.when(src_idx == i, F.lit(r)).otherwise(rate)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_SAMPLE_SALT + "-"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source", rate.alias("keep_rate"), h.alias("h"))
+        .filter(F.col("h") < F.col("keep_rate") * F.lit(_H60_MAX))
+        .select("doc_id", "source", "keep_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — assign each doc its slice of the concatenated
+# per-source token stream (docs concatenated in doc_id order, split
+# into SEQ_LEN-token training sequences). The chunk a doc STARTS in
+# is floor(start_offset / SEQ_LEN); the packer downstream only needs
+# (chunk_id, offset) to materialize sequences without re-reading
+# neighbors. One shuffle, keyed by source; at 100 TB the stream key
+# becomes (source, shard) with a deterministic doc_id->shard map so
+# no single window sees a whole source.
+# ---------------------------------------------------------------------------
+SEQ_LEN = 256  # tokens per packed training sequence
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(floor(start_offset / {SEQ_LEN}) AS BIGINT) AS chunk_id
+    FROM run
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.size(_tokens()).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = tok.withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    )
+    return run.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / SEQ_LEN).cast("bigint").alias("chunk_id"),
+    )
