@@ -128,3 +128,62 @@ def json_extract_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFra
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "sum_k", "n")
     )
+
+
+def running_value_clamp(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    retention_ms: int = 2 * 60 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running net-sum of ``value`` clamped at zero once per micro-batch
+    — the STREAMING twin of the M1 mutation's batch-clamp semantics
+    (operators/mutations.py: ``greatest(0, state + net_delta)`` per
+    batch, exactly the model pinned in tests/test_properties.py).
+
+    Built-in windowed aggregates can't express this: the clamp makes
+    the fold non-associative, so it needs explicit per-key state
+    carried across micro-batches — the documented escape hatch is
+    arbitrary stateful processing over Arrow batches.
+
+    State is one (double, bigint) pair per user, and it is BOUNDED:
+    an event-time timeout expires users idle past the watermark +
+    ``retention_ms`` (the always-on TTL posture; an expired user's
+    counter restarts from zero, like any TTL'd running counter).
+    Emits one updated (user_id, cum_value, n_events) row per user per
+    micro-batch — update output mode."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total = 0.0
+        n = 0
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        cum, seen = state.get if state.exists else (0.0, 0)
+        cum = max(0.0, cum + total)  # net-sum clamp, once per batch
+        seen += n
+        state.update((cum, seen))
+        wm = state.getCurrentWatermarkMs()
+        # schedule expiry relative to the stream's event-time frontier
+        state.setTimeoutTimestamp(max(wm, 0) + retention_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "cum_value": [cum], "n_events": [seen]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id bigint, cum_value double, n_events bigint",
+            "cum_value double, n_events bigint",
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -5,6 +5,8 @@ they mirror (complete-mode memory sink, AvailableNow trigger).
 
 from __future__ import annotations
 
+import pytest
+
 
 from flat_file_social_media_database_engine_spark.streaming import events as SE
 from flat_file_social_media_database_engine_spark.workloads import eventflow as BE
@@ -159,3 +161,160 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # the 00:00 window closed with ONE event; the late one was dropped
     assert ("2024-01-01T00:00:00", 1) in out
     assert ("2024-01-01T00:00:00", 2) not in out
+
+
+def _run_stream_update(spark, df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_running_clamp_single_batch_matches_m1_model(spark):
+    """One micro-batch: the stateful counter must equal the batch
+    M1-clamp expression greatest(0, sum(value)) per user."""
+    from pyspark.sql import functions as F
+
+    stream = SE.read_events_stream(spark, SF, max_files_per_trigger=10_000)
+    got = _run_stream_update(spark, SE.running_value_clamp(stream), "t_clamp1")
+    want = (
+        BE.read_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.greatest(F.lit(0.0), F.sum("value")).alias("cum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    g = {r["user_id"]: (r["cum_value"], r["n_events"]) for r in got.collect()}
+    w = {r["user_id"]: (r["cum_value"], r["n_events"]) for r in want.collect()}
+    assert set(g) == set(w) and len(g) > 0
+    for uid, (cum, n) in w.items():
+        # pandas and Spark sum in different orders — value is approx,
+        # the count and the clamp semantics are exact
+        assert g[uid][1] == n
+        assert g[uid][0] == pytest.approx(cum, rel=1e-9, abs=1e-9)
+
+
+def test_running_clamp_incremental_trajectory(spark, tmp_path):
+    """Three micro-batches with mixed-sign values: each user's emitted
+    (cum_value, n_events) trajectory must be reproducible by the
+    per-batch net-sum clamp model under SOME ordering of their batches
+    (the %3 split is not time-ordered, so the watermark is set huge to
+    keep late-row filtering out of the picture — the single-batch and
+    TTL tests cover watermark interaction)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    events = BE.read_table(spark, SF, "events")
+    # recenter values so some per-batch nets go negative (clamp fires)
+    staged = events.withColumn("value", F.col("value") - F.lit(50.0))
+    d = tmp_path / "clamp_zone" / "events.parquet"
+    d.mkdir(parents=True)
+    splits = []
+    for i in range(3):
+        part_df = staged.filter(F.col("event_id") % 3 == i)
+        splits.append(part_df.select("user_id", "value").toPandas())
+        staging = tmp_path / f"clamp_stage_{i}"
+        (
+            part_df.withColumn("ts", F.unix_micros("ts") * 1000)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, str(d / f"batch_{i}.parquet"))
+
+    stream = SE.read_events_stream(spark, str(tmp_path / "clamp_zone"), 1)
+    log = _run_stream_update(
+        spark,
+        SE.running_value_clamp(stream, watermark="3650 days"),
+        "t_clamp3",
+    )
+    rows = log.collect()
+    assert rows
+
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    batch_net = [
+        {int(u): (float(g["value"].sum()), len(g)) for u, g in s.groupby("user_id")}
+        for s in splits
+    ]
+    clamp_fired = False
+    for uid, emitted in by_user.items():
+        emitted.sort(key=lambda r: r["n_events"])
+        nets = [bn[uid] for bn in batch_net if uid in bn]
+        assert len(emitted) == len(nets), f"user {uid}: missed emissions"
+        assert _replayable(emitted, nets), f"user {uid}: no order replays the log"
+        clamp_fired = clamp_fired or any(r["cum_value"] == 0.0 for r in emitted)
+    assert clamp_fired  # the recentering must actually exercise the clamp
+
+
+def _replayable(emitted, nets, cum=0.0, seen=0):
+    """DFS: does some ordering of the (net, cnt) batches reproduce the
+    emission trajectory under the per-batch clamp model?"""
+    if not nets:
+        return not emitted
+    head = emitted[0]
+    for j, (net, cnt) in enumerate(nets):
+        c2 = max(0.0, cum + net)
+        if seen + cnt == head["n_events"] and head["cum_value"] == pytest.approx(
+            c2, rel=1e-9, abs=1e-9
+        ):
+            if _replayable(emitted[1:], nets[:j] + nets[j + 1 :], c2, seen + cnt):
+                return True
+    return False
+
+
+def test_running_clamp_state_expires_after_retention(spark, tmp_path):
+    """Event-time timeout: a user idle past watermark + retention is
+    expired; their next event restarts the counter from zero."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "ttl_zone" / "events.parquet"
+    d.mkdir(parents=True)
+    batches = [
+        [(1, "2024-01-01 00:00:00", 7, 10.0)],  # user 7: cum 10
+        [(2, "2024-01-02 00:00:00", 8, 1.0)],   # watermark jumps a day
+        [(3, "2024-01-02 00:30:00", 7, 5.0)],   # user 7 returns: fresh state
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, value double"
+        ).select(
+            "event_id",
+            (F.unix_micros(F.to_timestamp("ts_s")) * 1000).alias("ts"),
+            "user_id",
+            F.lit("click").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        )
+        staging = tmp_path / f"ttl_stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, str(d / f"batch_{i}.parquet"))
+
+    stream = SE.read_events_stream(spark, str(tmp_path / "ttl_zone"), 1)
+    log = _run_stream_update(
+        spark,
+        SE.running_value_clamp(stream, watermark="1 hour", retention_ms=3600_000),
+        "t_clamp_ttl",
+    )
+    u7 = sorted(
+        ((r["cum_value"], r["n_events"]) for r in log.collect() if r["user_id"] == 7),
+    )
+    # first emission: cum 10, n 1; post-expiry emission restarts: cum 5, n 1
+    assert u7 == [(5.0, 1), (10.0, 1)]
