@@ -36,6 +36,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_ivf",
 ]
 
 

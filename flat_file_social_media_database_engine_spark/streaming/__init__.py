@@ -4,6 +4,7 @@
 from .events import (  # noqa: F401
     json_extract_rollup,
     read_events_stream,
+    running_value_clamp,
     sessionize,
     tumbling_counts,
 )
