@@ -272,7 +272,10 @@ def _minhash_sig_udf():
     return mh_sig
 
 
-def _lsh_oracle() -> str:
+def _lsh_pairs_ctes() -> str:
+    """All CTEs of the MinHash-LSH pipeline, ending in ``lsh_pairs``
+    (the verified near-dup pair set) — shared by the pair query's
+    oracle and the clustering query's recursive oracle."""
     mins = ", ".join(
         f"min(({a} * g + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(_AB)
     )
@@ -313,16 +316,21 @@ def _lsh_oracle() -> str:
       JOIN e ea ON ea.doc_id = c.doc_id_a
       JOIN e eb ON eb.doc_id = c.doc_id_b AND eb.s = ea.s
       GROUP BY 1, 2
-    )
-    SELECT v.doc_id_a, v.doc_id_b, v.common,
-           na.n_shingles AS n_a, nb.n_shingles AS n_b,
-           v.common / (na.n_shingles + nb.n_shingles - v.common) AS jaccard
-    FROM verified v
-    JOIN sizes na ON na.doc_id = v.doc_id_a
-    JOIN sizes nb ON nb.doc_id = v.doc_id_b
-    WHERE v.common / (na.n_shingles + nb.n_shingles - v.common)
-          >= {JACCARD_THRESHOLD}
-    """
+    ),
+    lsh_pairs AS (
+      SELECT v.doc_id_a, v.doc_id_b, v.common,
+             na.n_shingles AS n_a, nb.n_shingles AS n_b,
+             v.common / (na.n_shingles + nb.n_shingles - v.common) AS jaccard
+      FROM verified v
+      JOIN sizes na ON na.doc_id = v.doc_id_a
+      JOIN sizes nb ON nb.doc_id = v.doc_id_b
+      WHERE v.common / (na.n_shingles + nb.n_shingles - v.common)
+            >= {JACCARD_THRESHOLD}
+    )"""
+
+
+def _lsh_oracle() -> str:
+    return f"{_lsh_pairs_ctes()}\n    SELECT * FROM lsh_pairs"
 
 
 @query("dedup_minhash_lsh", oracle=_lsh_oracle())
@@ -507,4 +515,106 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.countDistinct("s").alias("n_shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified LSH
+# pair graph. Pairs aren't actionable — a pipeline keeps ONE doc per
+# duplicate GROUP, and groups are the transitive closure of pairs.
+# ---------------------------------------------------------------------------
+_CC_MAX_ITERS = 20
+
+
+def _cc_oracle() -> str:
+    # DuckDB twin: recursive transitive closure (the fixture pair
+    # graph is tiny; the driver runs oracles at sf0.01).
+    body = _lsh_pairs_ctes().lstrip()
+    assert body.startswith("WITH ")
+    return f"""
+    WITH RECURSIVE {body[len("WITH "):]},
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM lsh_pairs
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM lsh_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           doc_id = cluster_id AS is_canonical
+    FROM lab
+    """
+
+
+@query("dedup_clusters", oracle=_cc_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH near-dup pairs: every doc
+    gets ``cluster_id`` = the minimum doc_id reachable through the
+    pair graph (itself if unpaired), and ``is_canonical`` marks the
+    per-cluster survivor — the row a dedup pass keeps.
+
+    Execution is iterative min-label propagation, O(diameter) rounds
+    (near-dup clusters are shallow: diameter is small because members
+    are pairwise-similar through few hops). Each round is one
+    edge⋈label shuffle + a map-side-combined min; labels are eagerly
+    checkpointed so lineage stays flat, and the convergence probe is
+    a count action, never a data collect. At the 100 TB tier the same
+    loop runs alternated as large-star/small-star (O(log n) rounds,
+    same per-round plan shape); the pair graph it consumes is already
+    the LSH output — bucket-bounded, never all-pairs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"),
+                F.col("doc_id_a").alias("doc_id_b"),
+            )
+        )
+        .withColumnRenamed("doc_id_a", "src")
+        .withColumnRenamed("doc_id_b", "dst")
+        .localCheckpoint(eager=True)
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
