@@ -162,3 +162,65 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
         F.explode(idx).alias("frame_index"),
         "content",
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resizer", StringType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize stills/frames so the longer side is ``max_side``
+    (aspect-preserving, never upscales) via ``mapInPandas``.
+
+    Same stub policy as ``decode_media``: with a codec lib present
+    this is where a real resampler goes (unwired formats raise
+    ``NotImplementedError`` loudly); without one, a DETERMINISTIC
+    FAKE "resize" strides the payload bytes down by the same ratio a
+    real resampler would apply to pixels (labeled
+    ``resizer='fake-stride-v1'``), so the metadata math (aspect
+    ratio, no-upscale clamp) and the Spark-side plumbing — schema,
+    Arrow batching, binary-out column — are real and tested. Audio
+    rows pass through untouched (resize is a pixel concept)."""
+    use_real = _codec_available()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real:  # pragma: no cover - no codecs in container
+                raise NotImplementedError(
+                    "real resampler not wired; only the fake-stride "
+                    "resizer is implemented in this environment"
+                )
+            out_w, out_h, payloads = [], [], []
+            for w, h, payload in zip(pdf["width"], pdf["height"], pdf["content"]):
+                if pd.isna(w) or pd.isna(h):  # audio: no pixel grid
+                    out_w.append(None)
+                    out_h.append(None)
+                    payloads.append(payload)
+                    continue
+                scale = min(1.0, max_side / max(int(w), int(h)))
+                nw, nh = max(1, round(int(w) * scale)), max(1, round(int(h) * scale))
+                out_w.append(nw)
+                out_h.append(nh)
+                stride = max(1, int(round(1 / scale))) if scale < 1.0 else 1
+                payloads.append(bytes(payload[::stride]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                    "resizer": "fake-stride-v1",
+                    "content": payloads,
+                }
+            )
+
+    cols = ["media_id", "media_type", "width", "height", "content"]
+    return media.select(*cols).mapInPandas(run, schema=RESIZED_SCHEMA)

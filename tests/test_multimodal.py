@@ -70,3 +70,28 @@ def test_frame_sampling_is_column_math(media):
     assert set(by_media) == set(n_frames)
     for mid, idxs in by_media.items():
         assert idxs == list(range(0, n_frames[mid], 2))
+
+
+def test_resize_media_aspect_clamp_and_passthrough(spark):
+    """Aspect preserved on non-square frames, no upscale of small
+    media, audio untouched, stride math matches the metadata scale."""
+    rows = [
+        (1, "image", b"0123456789abcdef", 64, 32, 1, None),  # 2:1 still
+        (2, "image", b"tiny", 8, 8, 1, None),                # below max_side
+        (3, "audio", b"pcm-bytes", None, None, 1, 16000),    # passthrough
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.resize_media(media, max_side=16).collect()}
+
+    big = out[1]  # scale 16/64 = 0.25 -> 16x8, stride 4
+    assert (big["width"], big["height"]) == (16, 8)
+    assert bytes(big["content"]) == b"0123456789abcdef"[::4]
+
+    small = out[2]  # scale clamped at 1.0 — no upscale, bytes intact
+    assert (small["width"], small["height"]) == (8, 8)
+    assert bytes(small["content"]) == b"tiny"
+
+    audio = out[3]  # no pixel grid: untouched
+    assert audio["width"] is None and audio["height"] is None
+    assert bytes(audio["content"]) == b"pcm-bytes"
+    assert audio["resizer"] == "fake-stride-v1"
