@@ -2,6 +2,7 @@
 ``readStream`` (see ``streaming.events``)."""
 
 from .events import (  # noqa: F401
+    dedupe_stream,
     json_extract_rollup,
     read_events_stream,
     running_value_clamp,

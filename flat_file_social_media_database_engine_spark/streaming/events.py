@@ -187,3 +187,16 @@ def running_value_clamp(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedupe_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drop repeated event_ids
+    arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state holds one timestamp per
+    key and expires with the watermark, unlike ``dropDuplicates``
+    whose key set grows forever). The streaming leg of the dedup
+    tier: at-least-once sources (replayed files, Kafka redeliveries)
+    become effectively-once downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

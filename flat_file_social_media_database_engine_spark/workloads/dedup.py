@@ -618,3 +618,72 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: classify a NEW batch of docs against the already-
+# ingested corpus — the shape a production pipeline actually runs
+# (never re-dedup the whole corpus per ingest). Here doc_id >= N_OLD
+# stands in for the new batch.
+# ---------------------------------------------------------------------------
+N_OLD = 400  # existing corpus: doc_id < N_OLD
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS content_digest FROM documents
+    ),
+    old_digests AS (
+      SELECT DISTINCT content_digest FROM d WHERE doc_id < {N_OLD}
+    ),
+    new_batch AS (
+      SELECT doc_id, content_digest,
+             min(doc_id) OVER (PARTITION BY content_digest) AS first_in_batch
+      FROM d WHERE doc_id >= {N_OLD}
+    )
+    SELECT n.doc_id, n.content_digest,
+           CASE WHEN o.content_digest IS NOT NULL THEN 'dup_of_corpus'
+                WHEN n.doc_id > n.first_in_batch THEN 'dup_in_batch'
+                ELSE 'unique' END AS status
+    FROM new_batch n LEFT JOIN old_digests o
+      ON o.content_digest = n.content_digest
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch dedup against the corpus digest set: each new doc is
+    'dup_of_corpus' (digest already ingested), 'dup_in_batch' (an
+    earlier doc in the same batch has it), or 'unique'.
+
+    Scale posture: only the NEW batch is scanned for classification;
+    the corpus side contributes just its distinct digest column (at
+    100 TB that digest index is a bucketed table the join co-locates
+    on — here the fixture-sized set broadcasts). The within-batch
+    first-wins uses one window over the batch's own digests."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.md5(_norm()).alias("content_digest"))
+    old_digests = (
+        d.filter(F.col("doc_id") < N_OLD).select("content_digest").distinct()
+    )
+    new_batch = d.filter(F.col("doc_id") >= N_OLD).withColumn(
+        "first_in_batch",
+        F.min("doc_id").over(Window.partitionBy("content_digest")),
+    )
+    return (
+        new_batch.join(
+            old_digests.withColumnRenamed("content_digest", "od").hint("broadcast"),
+            new_batch.content_digest == F.col("od"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "content_digest",
+            F.when(F.col("od").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") > F.col("first_in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )

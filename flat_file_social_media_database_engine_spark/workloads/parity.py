@@ -547,3 +547,41 @@ def a4_existence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(probe(part, F.col("p_partkey") == 1, "has_part_1"))
         .crossJoin(probe(region, F.col("r_name") == "EUROPE", "has_europe"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A5' — approx-median scale variant (same contract as A3': the exact
+# median needs a full sort/selection; percentile_approx maintains a
+# fixed-size sketch that partial-aggregates map-side. The oracle pins
+# the exact median and the sketch's within-tolerance verdict.)
+# ---------------------------------------------------------------------------
+_A5_ACCURACY = 10_000  # percentile_approx accuracy knob
+_A5_TOL = 0.01  # accepted |approx - exact| / exact
+
+
+@query(
+    "a5_approx_median",
+    oracle=f"""
+    SELECT round(median(o_totalprice), 4) AS median_exact,
+           CAST(TRUE AS BOOLEAN) AS within_tol,
+           CAST({_A5_TOL} AS DOUBLE) AS tolerance
+    FROM orders
+    """,
+)
+def a5_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .agg(
+            F.median("o_totalprice").alias("m"),
+            F.percentile_approx(
+                "o_totalprice", F.lit(0.5), F.lit(_A5_ACCURACY)
+            ).alias("ma"),
+        )
+        .select(
+            F.round("m", 4).alias("median_exact"),
+            (F.abs(F.col("ma") - F.col("m")) / F.col("m") <= F.lit(_A5_TOL)).alias(
+                "within_tol"
+            ),
+            F.lit(_A5_TOL).alias("tolerance"),
+        )
+    )

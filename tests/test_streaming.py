@@ -318,3 +318,47 @@ def test_running_clamp_state_expires_after_retention(spark, tmp_path):
     )
     # first emission: cum 10, n 1; post-expiry emission restarts: cum 5, n 1
     assert u7 == [(5.0, 1), (10.0, 1)]
+
+
+def test_dedupe_stream_drops_redelivered_events(spark, tmp_path):
+    """File 2 redelivers half of file 1's events (same event_ids,
+    within the watermark): each event_id must come out exactly once,
+    and the union of both files' distinct ids must survive."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    events = BE.read_table(spark, SF, "events")
+    d = tmp_path / "dup_zone" / "events.parquet"
+    d.mkdir(parents=True)
+    first = events.filter(F.col("event_id") % 2 == 0)
+    redelivered = events.filter(F.col("event_id") % 4 == 0)  # half of file 1
+    fresh = events.filter(F.col("event_id") % 2 == 1)
+    for i, part_df in enumerate((first, redelivered.union(fresh))):
+        staging = tmp_path / f"dup_stage_{i}"
+        (
+            part_df.withColumn("ts", F.unix_micros("ts") * 1000)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, str(d / f"batch_{i}.parquet"))
+
+    stream = SE.read_events_stream(spark, str(tmp_path / "dup_zone"), 1)
+    q = (
+        SE.dedupe_stream(stream, watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName("t_dedupe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = [r["event_id"] for r in spark.sql("SELECT event_id FROM t_dedupe").collect()]
+    assert len(got) == len(set(got)), "an event_id was emitted twice"
+    assert set(got) == {r["event_id"] for r in events.collect()}
