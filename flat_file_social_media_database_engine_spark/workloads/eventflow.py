@@ -286,3 +286,107 @@ def events_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: users who progressed view -> click -> purchase in
+# event-time order (each later stage strictly after the earliest
+# occurrence of the previous one).
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS stage_view,
+           CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS stage_click,
+           CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click
+                           THEN 1 END) AS BIGINT) AS stage_purchase
+    FROM stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ordered-funnel conversion: one grouped pass computes
+    each user's earliest time per stage, then counts survivors of
+    each strict-order prefix. Single shuffle (user_id), min aggs
+    combine map-side; no self-joins, no windows — the per-user state
+    is three timestamps regardless of event volume."""
+    events = read_table(spark, sf_dir, "events")
+
+    def first_ts(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    stage = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(F.when(clicked, 1)).alias("stage_click"),
+        F.count(F.when(purchased, 1)).alias("stage_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: group users by first-seen day, report how many
+# come back k days later (the engagement-over-time readout).
+# ---------------------------------------------------------------------------
+@query(
+    "events_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-by-first-day retention counts. Two shuffles on user_id
+    (first-seen agg + the distinct) then a small rollup; the
+    first_day side joins broadcast at fixture scale and co-locates on
+    user_id at 100 TB (both sides already hash-partitioned by the
+    same key, so AQE plans a no-exchange join)."""
+    events = read_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        events.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            # date → timestamp: pandas reads Spark DATE as object but
+            # TIMESTAMP as datetime64, matching the DuckDB oracle dtype
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
