@@ -193,3 +193,36 @@ def a1_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_returnflag") == "N", 1)).alias("neither"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation: ROLLUP over (priority, status) — subtotal
+# and grand-total rows in one pass (grouping sets), the operator
+# class a reporting layer otherwise emulates with N separate scans.
+# ---------------------------------------------------------------------------
+@query(
+    "a2_orders_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def a2_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one shuffle: Spark expands the rollup into grouping
+    sets before the exchange, so detail rows, per-priority subtotals,
+    and the grand total partial-aggregate together instead of one
+    scan per level. ``gid`` disambiguates NULL-as-subtotal from a
+    genuinely NULL grouping value on both engines."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "n_orders", "gid")
+    )
