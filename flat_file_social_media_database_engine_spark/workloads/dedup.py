@@ -12,14 +12,16 @@ Scale posture (the part that matters at 100 TB):
   per-doc DISTINCT.
 - ``dedup_minhash_lsh`` is the real 100 TB path: 64 MinHashes banded
   16×4, candidates only within equal (band, key) buckets, exact
-  Jaccard verification restricted to candidates. Signatures are 64
-  MIN aggregates over the exploded (doc, shingle-hash) table — one
-  map-side-combined shuffle on doc_id; the shared exploded table is
-  eagerly checkpointed because four branches consume it. At sf0.1
-  the wall time is stage-count-bound (~10 stages × fixed local-mode
-  stage overhead), not data-bound — the per-row work amortizes at
-  scale while the stage count stays constant.
+  Jaccard verification restricted to candidates. The signature pass
+  is MAP-ONLY: shingle hashes are computed once JVM-side, then one
+  Arrow-vectorized numpy pass per batch takes the 64 mins (see
+  ``_minhash_sig_udf``) — the first shuffle in the pipeline is the
+  band-bucket candidate join itself.
 - ``dedup_simhash`` is map-only (per-doc 60-bit signature).
+- ``dedup_clusters`` folds the verified pairs into connected
+  components (iterative min-label propagation, count-only
+  convergence probe); ``dedup_incremental`` classifies a new ingest
+  batch against the corpus digest set so ingest is O(batch).
 
 Hash family: every hash is derived from md5 (present and bit-identical
 in Spark and DuckDB — first 15 hex chars parsed as a 60-bit int), so
