@@ -180,3 +180,16 @@ FIXTURE_TABLES = [
     "documents",
     "embeddings",
 ]
+
+FIXTURE_SCHEMAS = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
