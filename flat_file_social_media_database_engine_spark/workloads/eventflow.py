@@ -390,3 +390,145 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (charter: "an operator Spark lacks"): last-click
+# attribution — for each purchase, the user's latest click at-or-
+# before the purchase time. Spark has no ASOF JOIN; the scale-honest
+# composition is union-the-streams + one ordered window per user
+# (carry-forward of the last click seen). DuckDB HAS a native ASOF
+# JOIN, which makes the oracle a true cross-engine differential of
+# the operator's semantics, not a restatement of our plan.
+# ---------------------------------------------------------------------------
+@query(
+    "events_asof_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           c.click_id AS attributed_click_id,
+           c.ts AS attributed_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.purchase_ts
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join via union + carry-forward window.
+
+    Both sides land in ONE shuffle keyed by user_id, sorted by
+    (ts, side) — clicks sort before purchases at equal ts so a
+    same-instant click attributes (the <= bound). `last(..,
+    ignorenulls)` carries the latest click forward; purchases then
+    filter out with their attribution attached. No per-row probe, no
+    range join, no skew beyond the user key itself. Clicks sharing
+    (user, ts) pre-aggregate to max event_id so both engines
+    tie-break identically."""
+    events = read_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").cast("bigint").alias("click_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            "click_id",
+            F.lit(None).cast("bigint").alias("purchase_id"),
+            F.lit(0).alias("side"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "user_id",
+        "t",
+        "purchase_id",
+        "side",
+        F.last("click_id", ignorenulls=True).over(w).alias("attributed_click_id"),
+        F.last(F.when(F.col("side") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("attributed_click_ts"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        F.col("purchase_id"),
+        "user_id",
+        F.col("t").alias("purchase_ts"),
+        "attributed_click_id",
+        "attributed_click_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (charter: "an operator Spark lacks"): clicks within the
+# trailing hour of each purchase. A naive inequality join is a
+# per-user cross product; the scale form BUCKETS time at the window
+# width — each click posts to its own bucket and the next, purchases
+# probe exactly one bucket, so every candidate pair is within 2h
+# before the exact predicate trims to 1h. Expansion factor is a
+# constant 2x, independent of data volume or window population.
+# ---------------------------------------------------------------------------
+_RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "events_range_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           CAST(count(c.ts) AS BIGINT) AS n_clicks_trailing_1h
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    bucket = lambda t: F.floor(F.unix_micros(t) / F.lit(_RANGE_WINDOW_US))  # noqa: E731
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        bucket(F.col("ts")).alias("b"),
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withColumn(
+            "b",
+            F.explode(
+                F.array(
+                    bucket(F.col("click_ts")), bucket(F.col("click_ts")) + 1
+                )
+            ),
+        )
+    )
+    in_window = (F.col("click_ts") <= F.col("purchase_ts")) & (
+        F.col("click_ts")
+        > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        purchases.join(clicks, ["user_id", "b"], "left")
+        .groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(
+            F.count(F.when(in_window, 1)).alias("n_clicks_trailing_1h")
+        )
+    )
