@@ -532,3 +532,45 @@ def events_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(in_window, 1)).alias("n_clicks_trailing_1h")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: event_type counts as columns per day. Spark's pivot with an
+# EXPLICIT value list compiles to conditional aggregates in one pass
+# (no second job to discover values — at 100 TB value-discovery is a
+# full extra scan, so the domain is pinned, like every schema here).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_pivot_daily",
+    oracle=f"""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           {", ".join(
+               f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+               f" AS n_{t}" for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    out = (
+        events.select(
+            F.to_date("ts").cast("timestamp").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves absent combinations null; the oracle's conditional
+    # counts yield 0 — align, and name columns identically
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )

@@ -92,3 +92,75 @@ def test_lsh_pairs_subset_of_exact_with_nearid_recall(
     }
     assert lsh <= exact
     assert (0, 999) in lsh
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs a pure-Python model: random interleavings of clicks
+# and purchases (shared timestamps included) must attribute each
+# purchase to the max-event_id click at the latest ts <= purchase ts.
+# ---------------------------------------------------------------------------
+_events_strat = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=20),  # ts (seconds)
+        st.sampled_from(["click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_events_strat)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_attribution_matches_model(spark, rows, tmp_path_factory):
+    import datetime as dt
+
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_asof_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (
+            i,
+            base + dt.timedelta(seconds=ts),
+            uid,
+            et,
+            0.0,
+            "{}",
+        )
+        for i, (uid, ts, et) in enumerate(rows)
+    ]
+    d = tmp_path_factory.mktemp("asof")
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        r["purchase_id"]: (r["attributed_click_id"], r["attributed_click_ts"])
+        for r in events_asof_attribution(spark, str(d)).collect()
+    }
+
+    # model: per purchase, clicks of same user with ts <= purchase ts;
+    # winner = latest ts, then max event_id
+    want = {}
+    for i, (uid, ts, et) in enumerate(rows):
+        if et != "purchase":
+            continue
+        cands = [
+            (cts, j)
+            for j, (cuid, cts, cet) in enumerate(rows)
+            if cet == "click" and cuid == uid and cts <= ts
+        ]
+        if cands:
+            cts, cid = max(cands)
+            want[i] = (cid, base + dt.timedelta(seconds=cts))
+        else:
+            want[i] = (None, None)
+    assert got == want
