@@ -17,12 +17,14 @@ Layout
 - ``schemas``    : explicit StructTypes (reference tables + fixtures).
 - ``sources``    : coerce-or-drop CSV reader (S1/S2), parquet catalog,
                    referential-integrity semi/anti joins (S3, J5).
-- ``operators``  : the reference's read queries (Q1/Q2) and batch
-                   mutation dataflows (M1-M3).
+- ``operators``  : the reference's read queries (Q1/Q2), batch
+                   mutation dataflows (M1-M3), salted skew joins.
 - ``plans``      : versioned snapshot store (atomic multi-table commit).
-- ``functions``  : scalar helpers, text analysis, dedup, similarity,
-                   multimodal column plumbing.
-- ``streaming``  : Structured Streaming over the events table.
+- ``functions``  : multimodal column plumbing (decode / features /
+                   resize / frame sampling); text/dedup/similarity
+                   column logic lives with its workloads.
+- ``streaming``  : Structured Streaming over the events table
+                   (windows, sessions, stream dedup, stateful clamp).
 - ``workloads``  : queries()/oracle_sql() instantiations on the
                    TPC-H-ish driver fixtures.
 """
