@@ -595,3 +595,59 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset",
         F.floor(F.col("start_offset") / SEQ_LEN).cast("bigint").alias("chunk_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics scoring: per-doc mean corpus-frequency of its
+# tokens — the cheap stand-in for LM-perplexity filtering (rare-token
+# soup scores low, common fluent text scores high). The shape that
+# matters: a corpus-wide dictionary build, then a broadcast join of
+# that dictionary against the exploded token stream. No logs — IEEE
+# division of exact integer sums keeps the oracle bit-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "text_commonness_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(f.tf) AS BIGINT) AS sum_tf,
+           sum(f.tf) / count(*) AS mean_token_freq
+    FROM tok t JOIN freq f ON f.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passes over one exploded token stream: build the corpus
+    frequency dictionary (map-side-combined group-by), then score
+    each doc by joining the dictionary back. The exploded stream is
+    eagerly checkpointed — both passes read it without re-tokenizing
+    — and the dictionary side broadcasts (vocabulary grows ~log of
+    corpus size; at 100 TB it is still executor-memory sized, and if
+    it ever is not, the join key is already the shuffle key)."""
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).localCheckpoint(eager=True)
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_tf",
+            (F.col("sum_tf") / F.col("n_tokens")).alias("mean_token_freq"),
+        )
+    )
