@@ -3,6 +3,7 @@
 
 from .events import (  # noqa: F401
     dedupe_stream,
+    enrich_stream,
     json_extract_rollup,
     read_events_stream,
     running_value_clamp,

@@ -200,3 +200,18 @@ def dedupe_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def enrich_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (user_id → c_custkey). The static side is planned per
+    micro-batch — a broadcast at dim scale — so the stream never
+    shuffles; re-reading the dim each batch also means slowly-changing
+    dims pick up updates without restarting the query. Stateless
+    (no watermark needed): each event joins alone."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return events.join(F.broadcast(dim), "user_id", "left")

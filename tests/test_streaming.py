@@ -362,3 +362,30 @@ def test_dedupe_stream_drops_redelivered_events(spark, tmp_path):
     got = [r["event_id"] for r in spark.sql("SELECT event_id FROM t_dedupe").collect()]
     assert len(got) == len(set(got)), "an event_id was emitted twice"
     assert set(got) == {r["event_id"] for r in events.collect()}
+
+
+def test_enrich_stream_matches_batch_join(spark):
+    """Stream-static enrichment ≡ the batch left join, row for row."""
+    customer = BE.read_table(spark, SF, "customer")
+    stream = SE.read_events_stream(spark, SF)
+    enriched = SE.enrich_stream(stream, customer)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_enrich").collect()}
+    want = {
+        tuple(r)
+        for r in SE.enrich_stream(
+            BE.read_table(spark, SF, "events"), customer
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == BE.read_table(spark, SF, "events").count()
