@@ -83,6 +83,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "n_queries": len(per_query),  # headline grew r1→r2 (9→16);
+        # compare per-query times across rounds, not the total alone
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if skipped:
