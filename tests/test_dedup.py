@@ -72,3 +72,36 @@ def test_simhash_near_dups_have_small_hamming_distance(spark, planted_dir):
     assert ham(sh[100], sh[102]) <= 12  # near-dup stays close in Hamming space
     far = [ham(sh[100], sh[i]) for i in range(10)]
     assert min(far) > 12  # unrelated docs are far
+
+
+def test_incremental_dedup_statuses(spark, tmp_path_factory):
+    """Planted batch: the sf fixtures are all-distinct so the driver
+    oracle only sees 'unique' — every status branch is pinned here.
+    Corpus = doc_id < N_OLD; batch docs 400/401 share a digest (one
+    corpus echo is NOT involved), 402 duplicates corpus doc 0, 403 is
+    fresh. Normalization (case/whitespace) applies before matching."""
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 1),
+        (1, "an unrelated corpus document about spark plans", "en", "s", 1),
+    ]
+    batch = [
+        (400, "batch text repeated twice in this ingest", "en", "s", 1),
+        (401, "  BATCH text repeated twice in this INGEST ", "en", "s", 1),
+        (402, "The  Quick Brown Fox jumps over the lazy dog", "en", "s", 1),
+        (403, "a genuinely new document", "en", "s", 1),
+    ]
+    d = tmp_path_factory.mktemp("incr")
+    spark.createDataFrame(
+        corpus + batch,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["status"]
+        for r in D.dedup_incremental(spark, str(d)).collect()
+    }
+    assert out == {
+        400: "unique",
+        401: "dup_in_batch",  # normalizes to 400's digest, 400 is first
+        402: "dup_of_corpus",  # normalizes to corpus doc 0's digest
+        403: "unique",
+    }
