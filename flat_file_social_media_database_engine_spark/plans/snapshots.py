@@ -72,20 +72,30 @@ class SnapshotStore:
             return json.load(f)
 
     # -- read -------------------------------------------------------------
-    def tables(self) -> dict[str, list[str]]:
-        """Current manifest as name → list of parquet dirs (older
-        single-path manifests are normalized to 1-element lists)."""
-        v = self.current_version()
+    def tables(self, version: int | None = None) -> dict[str, list[str]]:
+        """Manifest as name → list of parquet dirs (older single-path
+        manifests are normalized to 1-element lists). ``version``
+        time-travels to any committed snapshot — copy-on-write never
+        deletes prior versions' files, so every manifest stays
+        readable (the Iceberg/Delta read-at-version contract)."""
+        if version is not None and not 1 <= version <= self.current_version():
+            raise ValueError(
+                f"version {version} not in [1, {self.current_version()}]"
+            )
+        v = self.current_version() if version is None else version
         if v == 0:
             return {}
         raw = self._manifest(v)["tables"]
         return {n: [p] if isinstance(p, str) else list(p) for n, p in raw.items()}
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(*self.tables()[name])
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        return self.spark.read.parquet(*self.tables(version)[name])
 
-    def read_all(self) -> dict[str, DataFrame]:
-        return {n: self.spark.read.parquet(*ps) for n, ps in self.tables().items()}
+    def read_all(self, version: int | None = None) -> dict[str, DataFrame]:
+        return {
+            n: self.spark.read.parquet(*ps)
+            for n, ps in self.tables(version).items()
+        }
 
     # -- write ------------------------------------------------------------
     def commit(

@@ -104,3 +104,31 @@ def test_partitioned_commit_prunes_directories(spark, tmp_path):
     ) or "bucket" in buf.getvalue()
     # round-trip values intact across the partitioned layout
     assert {r["id"] for r in got.collect()} == {i for i in range(30) if i % 3 == 1}
+
+
+def test_time_travel_reads_any_committed_version(store, spark):
+    """Copy-on-write never deletes prior files, so read(version=N)
+    reproduces any snapshot exactly; out-of-range versions raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = store.current_version()
+    df1 = spark.range(5).select(F.col("id"), F.lit(1).alias("gen"))
+    v1 = store.commit({"t": df1})
+    df2 = spark.range(3).select(F.col("id"), F.lit(2).alias("gen"))
+    v2 = store.commit({"t": df2})
+    v3 = store.append({"t": spark.range(10, 12).select(
+        F.col("id"), F.lit(3).alias("gen"))})
+
+    assert (v1, v2, v3) == (base + 1, base + 2, base + 3)
+    assert store.current_version() == v3
+    # current read sees v2's replace plus v3's appended files
+    assert sorted(r["id"] for r in store.read("t").collect()) == [0, 1, 2, 10, 11]
+    # time-travel: v1 and v2 reproduce exactly
+    assert sorted(r["id"] for r in store.read("t", version=v1).collect()) == list(range(5))
+    assert {r["gen"] for r in store.read("t", version=v1).collect()} == {1}
+    assert sorted(r["id"] for r in store.read("t", version=v2).collect()) == [0, 1, 2]
+    with pytest.raises(ValueError):
+        store.tables(version=v3 + 1)
+    with pytest.raises(ValueError):
+        store.tables(version=0)
