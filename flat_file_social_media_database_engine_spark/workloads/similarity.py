@@ -246,6 +246,78 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (dedup tier's embedding leg).
 # ---------------------------------------------------------------------------
+_NEARDUP_BLOCKS = 16
+_NEARDUP_MARGIN = 1e-6  # numpy-vs-fold double drift is ~1e-15 relative;
+# the prefilter keeps anything within MARGIN of the threshold, so the
+# exact fold decides every borderline pair — output is bit-identical
+# to the naive all-pairs fold.
+
+
+def _neardup_candidates(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """Blocked all-pairs prefilter: vectors pack into B blocks, every
+    block PAIR (B·(B+1)/2 rows) scores as ONE numpy matmul inside
+    mapInPandas, and only pairs with numpy-cosine ≥ threshold−margin
+    survive. The quadratic work runs at BLAS speed instead of
+    interpreted-expression speed; the exact sequential fold then
+    re-scores just the survivors."""
+    import numpy as np
+    import pandas as pd
+
+    th = NEARDUP_COSINE - _NEARDUP_MARGIN
+
+    packed = (
+        base.withColumn("blk", F.pmod("vec_id", F.lit(_NEARDUP_BLOCKS)))
+        .groupBy("blk")
+        .agg(
+            F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
+        )
+    )
+    pairs = (
+        packed.select(
+            F.col("blk").alias("bx"), F.col("vs").alias("xs")
+        )
+        .join(
+            packed.select(F.col("blk").alias("by"), F.col("vs").alias("ys")),
+            F.col("bx") <= F.col("by"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for bx, by, xs, ys in zip(pdf["bx"], pdf["by"], pdf["xs"], pdf["ys"]):
+                ida = np.array([r["vec_id"] for r in xs], dtype=np.int64)
+                idb = np.array([r["vec_id"] for r in ys], dtype=np.int64)
+                X = np.stack([np.asarray(r["embedding"], np.float64) for r in xs])
+                Y = np.stack([np.asarray(r["embedding"], np.float64) for r in ys])
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+                C = Xn @ Yn.T
+                mask = C >= th
+                if bx == by:
+                    # within a block, dedupe the symmetric matrix by id
+                    mask &= ida[:, None] < idb[None, :]
+                    ii, jj = np.nonzero(mask)
+                    out_a.extend(ida[ii])
+                    out_b.extend(idb[jj])
+                else:
+                    # distinct blocks: every hit is a unique unordered
+                    # pair — orient it (block id is vec_id mod B, NOT
+                    # id-ordered, so orientation must be per-pair)
+                    ii, jj = np.nonzero(mask)
+                    out_a.extend(np.minimum(ida[ii], idb[jj]))
+                    out_b.extend(np.maximum(ida[ii], idb[jj]))
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": pd.array(out_a, dtype="int64"),
+                    "vec_id_b": pd.array(out_b, dtype="int64"),
+                }
+            )
+
+    return pairs.mapInPandas(score, "vec_id_a long, vec_id_b long")
+
+
 @query(
     "sim_neardup_cosine",
     oracle=f"""
@@ -262,12 +334,20 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ threshold — the exact correctness twin. This
-    O(N²) form is the verification baseline; the production 100 TB
-    path reuses the LSH bucketing above for candidates and re-scores
-    (same shape as dedup_minhash_lsh: bucket → verify)."""
+    """All-pairs cosine ≥ threshold — the exact correctness twin of
+    the LSH/IVF paths (the oracle stays the naive quadratic SQL).
+
+    Execution is quadratic by SPEC but not interpreted: a blocked
+    numpy matmul prefilter keeps pairs within margin of the threshold
+    (see ``_neardup_candidates``; 20s → ~3s at sf0.1), and the
+    oracle-exact sequential fold re-scores only those survivors — the
+    margin is 9 orders of magnitude above double drift, so the final
+    filter is decided by the fold alone and the output matches the
+    naive form bit-for-bit. At 100 TB the same verify step runs on
+    LSH-bucketed candidates instead (`sim_topk_lsh`'s shape)."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
+    cand = _neardup_candidates(spark, base)
     a = base.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("ea"),
@@ -279,7 +359,8 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
         .select(
             "vec_id_a",
             "vec_id_b",
