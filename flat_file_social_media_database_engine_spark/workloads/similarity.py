@@ -3,9 +3,11 @@ brute-force cosine top-k (the exactness baseline), random-hyperplane
 LSH top-k (the approximate scale path), and cosine near-dup pairs
 (the embedding leg of the dedup tier).
 
-All vector math is built-in array expressions (`zip_with` +
-`aggregate` folds inside whole-stage codegen) — no Python UDF, no
-driver-side collect anywhere.
+Decision-making vector math is built-in array expressions (`zip_with`
++ `aggregate` folds inside whole-stage codegen); Python appears only
+as Arrow-vectorized numpy passes that PRUNE work without deciding it
+(LSH signatures, the near-dup blocked-matmul prefilter) — no per-row
+UDF, no driver-side collect anywhere.
 
 Float determinism for the oracle-checked entries: elements are cast
 to DOUBLE before multiply, the dot product is a sequential left fold
