@@ -31,6 +31,59 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's CORRECTNESS harness checks the FIRST 50 registered
+# queries. Registration order is therefore a verification-coverage
+# decision, not a style one (round-2 verdict: 11 tail queries shipped
+# with oracles the driver never executed). Policy:
+#   _VERIFY_FIRST — queries that were never driver-verified, or whose
+#     implementation changed this round, registered at the head.
+#   _STABLE_TAIL  — queries double-covered elsewhere (scale-twin pairs
+#     like a3/a3_approx) or trivial parity entries, all green in
+#     CORRECTNESS_r02 and untouched since; these absorb the overflow
+#     past slot 50.
+# Everything else keeps its module registration order in between.
+_VERIFY_FIRST = [
+    # r2-unverified tail (VERDICT r2 item #1) — incl. events_sessionize,
+    # whose r1 hash failure was fixed but never driver-re-checked.
+    "events_sessionize",
+    "events_sessionize_twophase",
+    "events_sliding_rollup",
+    "events_funnel",
+    "events_retention",
+    "events_asof_attribution",
+    "events_range_attribution",
+    "events_pivot_daily",
+    "mm_payload_stats",
+    "mm_decode_features",
+    "mm_resize_stats",
+    # changed this round (band keys / shared shingles / persist swap /
+    # large-star-small-star / block scaling / new LSH oracle / compact)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_contamination",
+    "dedup_clusters",
+    "sim_topk_lsh",
+    "sim_neardup_cosine",
+    "s5_snapshot_roundtrip",
+]
+_STABLE_TAIL = [
+    # green in CORRECTNESS_r02, untouched this round, and each either a
+    # scale-twin of a query still inside the window or a parity entry
+    # whose operator is exercised by other in-window queries.
+    "a3_approx_distinct",
+    "a5_approx_median",
+    "a4_existence_checks",
+    "e2_except_custkeys",
+    "a2_orders_rollup",
+    "p3_filter_project",
+    "p5_point_lookup",
+    "e1_intersect_custkeys",
+    "text_token_freq",
+    "text_fingerprint",
+    "text_source_stats",
+]
+
+
 def load_all() -> None:
     from . import parity  # noqa: F401
     from . import analytics  # noqa: F401
@@ -39,3 +92,15 @@ def load_all() -> None:
     from . import similarity  # noqa: F401
     from . import eventflow  # noqa: F401
     from . import multimodal  # noqa: F401
+
+    head = [n for n in _VERIFY_FIRST if n in QUERIES]
+    tail = [n for n in _STABLE_TAIL if n in QUERIES]
+    placed = set(head) | set(tail)
+    mid = [n for n in QUERIES if n not in placed]
+    order = head + mid + tail
+    reordered = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+    oracle_order = {n: ORACLE[n] for n in order if n in ORACLE}
+    ORACLE.clear()
+    ORACLE.update(oracle_order)
