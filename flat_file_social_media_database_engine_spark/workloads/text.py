@@ -626,16 +626,20 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two passes over one exploded token stream: build the corpus
     frequency dictionary (map-side-combined group-by), then score
     each doc by joining the dictionary back. The exploded stream is
-    eagerly checkpointed — both passes read it without re-tokenizing
-    — and the dictionary side broadcasts (vocabulary grows ~log of
+    materialized spill-safe (persist(DISK_ONLY) + count barrier, see
+    ``plans.materialize`` — lineage kept, unlike executor-local
+    localCheckpoint) so both passes read it without re-tokenizing —
+    and the dictionary side broadcasts (vocabulary grows ~log of
     corpus size; at 100 TB it is still executor-memory sized, and if
     it ever is not, the join key is already the shuffle key)."""
+    from ..plans.materialize import materialize
+
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tok = docs.select(
-        "doc_id", F.explode(_tokens()).alias("token")
-    ).localCheckpoint(eager=True)
+    tok = materialize(
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     return (
         tok.join(F.broadcast(freq), "token")

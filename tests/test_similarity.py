@@ -143,3 +143,46 @@ def test_ivf_recall_and_candidate_efficiency(spark):
     assert vol / (S.N_QUERIES * n) <= 0.35, vol
     sizes = [r["count"] for r in cells.collect()]
     assert max(sizes) <= 4 * n / S.IVF_CENTROIDS  # no degenerate hot cell
+
+
+def test_neardup_blocks_scale_with_corpus(spark):
+    """Round-2 verdict item: a constant block count packs N/16 vectors
+    per row — per-row memory grows with the corpus. Blocks must scale
+    so rows stay bounded, and the multi-block path (block-pair matmul
+    + per-pair orientation) must stay exact on a corpus large enough
+    to span several blocks."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    # Block math: max vectors per block bounded at every corpus size.
+    for n in (1, 1999, 2000, 2001, 50_000, 5_000_000):
+        b = S._neardup_num_blocks(n)
+        assert math.ceil(n / b) <= S._NEARDUP_ROWS_PER_BLOCK
+    assert S._neardup_num_blocks(5_000_000) == 2500
+
+    # Multi-block exactness: ~2.5 blocks' worth of vectors with
+    # planted near-dups; the prefilter's survivor set must equal the
+    # numpy all-pairs truth (margin makes borderline inclusion-safe).
+    rng = np.random.RandomState(7)
+    n, dim = 5000, 16
+    V = rng.randn(n, dim)
+    for a, b in [(0, 4999), (17, 2500), (1234, 1235)]:  # cross-block dups
+        V[b] = V[a] + 0.01 * rng.randn(dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    base = df.select(
+        "vec_id", "embedding", F.sqrt(S._norm2("embedding")).alias("nrm")
+    )
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in S._neardup_candidates(spark, base).collect()
+    }
+    Vf = np.array([[float(np.float32(x)) for x in row] for row in V])
+    Vn = Vf / np.linalg.norm(Vf, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    ii, jj = np.nonzero(np.triu(C >= S.NEARDUP_COSINE + 1e-9, k=1))
+    expect = set(zip(ii.tolist(), jj.tolist()))
+    assert expect <= got
+    assert {(0, 4999), (17, 2500), (1234, 1235)} <= got
