@@ -194,12 +194,71 @@ def _signatures(spark: SparkSession, vecs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-@query("sim_topk_lsh")  # deterministic but not SQL-expressible compactly:
+def _lsh_topk_oracle() -> str:
+    """Full DuckDB replay of the hyperplane-LSH pipeline (round-2
+    verdict item #4 — this was the surface's one ``no_oracle`` row).
+
+    The 224×64 hyperplane matrix is deterministic source-text data
+    (seeded, rounded to 6 decimals), so it embeds as a VALUES table —
+    ``repr`` round-trips each float bit-exactly into a SQL literal.
+    Signatures, bucket-join candidates, exact re-score, and ranking
+    then mirror the Spark plan 1:1. The re-score is the shared
+    sequential-fold double dot (bit-identical across engines); the
+    signature BITS compare a dot product against zero, where numpy's
+    matmul summation order could in principle flip a sign only if
+    |dot| sits within float-summation drift of 0 (~1e-14) — gaussian
+    hyperplanes keep that probability negligible, and the driver
+    fixture is fixed, so the check is deterministic."""
+    hp_rows = ", ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in h)}])"
+        for t, b, h in _HYPERPLANES
+    )
+    return f"""
+    WITH hp(t, b, h) AS (VALUES {hp_rows}),
+    base AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT e.vec_id, hp.t,
+             CAST(sum(CASE WHEN {_dot_sql('e.embedding', 'hp.h')} >= 0
+                           THEN (CAST(1 AS BIGINT) << hp.b) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM embeddings e CROSS JOIN hp
+      GROUP BY e.vec_id, hp.t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
+      FROM sigs q
+      JOIN sigs s ON s.t = q.t AND s.sig = q.sig
+      WHERE q.vec_id < {N_QUERIES} AND s.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand c
+      JOIN base q ON q.vec_id = c.query_id
+      JOIN base n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_topk_lsh", oracle=_lsh_topk_oracle())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k: candidates are vectors sharing a
-    (table, signature) bucket with the query in ANY of the 16 tables;
-    survivors are exactly re-scored and ranked. Driver check is
-    rows-only; recall vs sim_topk_bruteforce is pinned in pytest.
+    (table, signature) bucket with the query in ANY of the 32 tables;
+    survivors are exactly re-scored and ranked. Fully oracle-checked
+    (see ``_lsh_topk_oracle``); recall vs sim_topk_bruteforce is
+    pinned in pytest.
 
     At 100 TB: signatures are one broadcast-join pass (P×b=128 dims),
     the bucket join shuffles (table, sig) keys only, and exact scoring
