@@ -2,17 +2,22 @@
 columns with typed metadata, processed by Arrow-batched pandas
 functions over ``mapInPandas``.
 
-The decode step is STUBBED — this container has no image/audio codecs
-(no PIL/opencv/ffmpeg). The stub policy:
+Codec policy (round-3: the AUDIO path is REAL):
 
-- If a real codec import succeeds (``PIL``), ``decode_media`` raises
-  ``NotImplementedError`` for formats we haven't wired rather than
-  silently faking — the seam where a real decoder plugs in.
-- Otherwise it produces a DETERMINISTIC FAKE decode (normalized
-  byte-histogram "pixels" derived from the payload), clearly labeled
-  via ``decoder='fake-histogram-v1'`` in the output, so the
-  Spark-side plumbing — schema, Arrow batch shape, partition
-  behavior, UDF signatures — is real and testable end-to-end.
+- **Audio is a real codec path.** Fixture audio payloads are genuine
+  RIFF/WAVE PCM files (header written with stdlib ``struct`` — WAV is
+  a public format needing no third-party library), and
+  ``decode_media`` PARSES the 44-byte header back (magics validated,
+  fields unpacked) plus a real 32-bin histogram over the decoded
+  int16 samples. A malformed audio payload raises — no silent fake.
+- Image/video decode remains STUBBED — this container has no pixel
+  codecs (no PIL/opencv/ffmpeg). If a real codec import succeeds
+  (``PIL``), ``decode_media`` raises ``NotImplementedError`` for
+  formats we haven't wired rather than silently faking; otherwise a
+  DETERMINISTIC FAKE (normalized byte-histogram, labeled
+  ``decoder='fake-histogram-v1'``) keeps the Spark-side plumbing —
+  schema, Arrow batch shape, partition behavior, UDF signatures —
+  real and testable end-to-end.
 
 Scale notes: media payloads ride as parquet binary; ``mapInPandas``
 streams Arrow record batches (bounded by
@@ -25,6 +30,7 @@ sampled frames.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -62,9 +68,16 @@ DECODED_SCHEMA = StructType(
         StructField("media_type", StringType()),
         StructField("decoder", StringType()),
         StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),  # audio: parsed from header
+        StructField("n_channels", IntegerType()),  # audio: parsed from header
+        StructField("bits_per_sample", IntegerType()),  # audio: parsed
+        StructField("n_samples", LongType()),  # audio: data_len / block_align
         StructField("features", ArrayType(FloatType())),
     ]
 )
+
+WAV_SAMPLE_RATE = 16_000
+_WAV_HEADER_LEN = 44  # canonical RIFF + fmt(16) + data header
 
 
 def _codec_available() -> bool:
@@ -76,47 +89,163 @@ def _codec_available() -> bool:
         return False
 
 
+def wav_encode(data: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Wrap raw bytes as a REAL canonical WAV file (RIFF little-endian,
+    16-bit mono PCM): 44-byte header written with stdlib ``struct``,
+    data padded to whole 2-byte samples. Readable by any WAV consumer
+    (the test suite verifies with stdlib ``wave``)."""
+    if len(data) % 2:
+        data = data + b"\x00"  # pad to int16 sample boundary
+    n = len(data)
+    block_align = 2  # mono * 16-bit
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,  # fmt chunk size (PCM)
+            1,  # audio format: PCM
+            1,  # channels
+            sample_rate,
+            sample_rate * block_align,  # byte rate
+            block_align,
+            16,  # bits per sample
+        )
+        + b"data"
+        + struct.pack("<I", n)
+    )
+    return header + data
+
+
+def wav_parse_header(payload: bytes) -> dict:
+    """Parse a canonical WAV header with stdlib ``struct`` — the REAL
+    audio codec path (magics checked, fields unpacked; raises
+    ``ValueError`` on malformed input rather than faking)."""
+    if len(payload) < _WAV_HEADER_LEN or payload[:4] != b"RIFF" or payload[8:16] != b"WAVEfmt ":
+        raise ValueError("not a canonical RIFF/WAVE payload")
+    (
+        fmt_size,
+        audio_format,
+        n_channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        bits_per_sample,
+    ) = struct.unpack("<IHHIIHH", payload[16:36])
+    if fmt_size != 16 or audio_format != 1 or payload[36:40] != b"data":
+        raise ValueError("unsupported WAV layout (non-PCM or extra chunks)")
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    if byte_rate != sample_rate * block_align or data_len > len(payload) - _WAV_HEADER_LEN:
+        raise ValueError("inconsistent WAV header")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": bits_per_sample,
+        "n_samples": data_len // block_align,
+        "data": payload[_WAV_HEADER_LEN : _WAV_HEADER_LEN + data_len],
+    }
+
+
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media fixture: each document's utf-8 bytes become
-    an opaque payload with plausible typed metadata (media_type cycles
-    by doc_id). Stands in for a real binary ingest so the pipeline is
-    testable without codec libraries."""
+    a payload with plausible typed metadata (media_type cycles by
+    doc_id). AUDIO payloads are real WAV files (``wav_encode`` over
+    the text bytes, applied in one Arrow-batched pandas pass — byte
+    packing has no JVM expression); image/video stay opaque bytes for
+    the labeled fake decoder. Deterministic either way, so every
+    downstream entry is oracle-able: the oracle predicts the WAV
+    framing arithmetic (44-byte header + even-padded data) from the
+    text length alone."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: pd is function-local (see similarity._signatures)
+    @pandas_udf("binary")
+    def wav_wrap(data):
+        return data.map(lambda b: wav_encode(bytes(b)))
+
     mt = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
     )
+    raw = F.encode("text", "utf-8")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         mt.alias("media_type"),
-        F.encode("text", "utf-8").alias("content"),
+        F.when(mt == "audio", wav_wrap(raw)).otherwise(raw).alias("content"),
         F.when(mt != "audio", F.lit(64)).cast("int").alias("width"),
         F.when(mt != "audio", F.lit(64)).cast("int").alias("height"),
         F.when(mt == "video", (F.col("doc_id") % 7 + 2))
         .otherwise(F.lit(1))
         .cast("int")
         .alias("n_frames"),
-        F.when(mt == "audio", F.lit(16_000)).cast("int").alias("sample_rate"),
+        F.when(mt == "audio", F.lit(WAV_SAMPLE_RATE)).cast("int").alias("sample_rate"),
     )
 
 
-def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized fake decode: 32-bucket normalized byte histogram."""
-    feats = []
-    for payload in pdf["content"]:
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        if arr.size == 0:
-            feats.append(np.zeros(FEATURE_DIM, dtype=np.float32))
-            continue
-        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
-        feats.append((hist / arr.size).astype(np.float32))
+def _decode_batch(pdf: pd.DataFrame, pixel_fake_ok: bool) -> pd.DataFrame:
+    """Per-batch decode. Audio: REAL WAV header parse + 32-bin
+    histogram over the decoded int16 samples. Image/video: labeled
+    fake byte-histogram (or a loud NotImplementedError when a real
+    pixel codec is importable but unwired)."""
+    out = {
+        "decoder": [],
+        "n_bytes": [],
+        "sample_rate": [],
+        "n_channels": [],
+        "bits_per_sample": [],
+        "n_samples": [],
+        "features": [],
+    }
+    for mt, payload in zip(pdf["media_type"], pdf["content"]):
+        payload = bytes(payload)
+        if mt == "audio":
+            wav = wav_parse_header(payload)  # raises on malformed input
+            samples = np.frombuffer(wav["data"], dtype="<i2")
+            if samples.size:
+                hist, _ = np.histogram(
+                    samples, bins=FEATURE_DIM, range=(-32768, 32768)
+                )
+                feats = (hist / samples.size).astype(np.float32)
+            else:
+                feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+            out["decoder"].append("wav-pcm-v1")
+            out["sample_rate"].append(wav["sample_rate"])
+            out["n_channels"].append(wav["n_channels"])
+            out["bits_per_sample"].append(wav["bits_per_sample"])
+            out["n_samples"].append(wav["n_samples"])
+            out["features"].append(feats)
+        else:
+            if not pixel_fake_ok:  # pragma: no cover - no codecs here
+                raise NotImplementedError(
+                    "real pixel codec present but not wired; only WAV "
+                    "audio and the fake-histogram decoder are implemented"
+                )
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size:
+                hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                feats = (hist / arr.size).astype(np.float32)
+            else:
+                feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+            out["decoder"].append("fake-histogram-v1")
+            out["sample_rate"].append(None)
+            out["n_channels"].append(None)
+            out["bits_per_sample"].append(None)
+            out["n_samples"].append(None)
+            out["features"].append(feats)
+        out["n_bytes"].append(len(payload))
     return pd.DataFrame(
         {
             "media_id": pdf["media_id"],
             "media_type": pdf["media_type"],
-            "decoder": "fake-histogram-v1",
-            "n_bytes": pdf["content"].map(len).astype("int64"),
-            "features": feats,
+            "decoder": out["decoder"],
+            "n_bytes": pd.array(out["n_bytes"], dtype="int64"),
+            "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+            "n_channels": pd.array(out["n_channels"], dtype="Int32"),
+            "bits_per_sample": pd.array(out["bits_per_sample"], dtype="Int32"),
+            "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+            "features": out["features"],
         }
     )
 
@@ -124,20 +253,17 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode + feature-extract media payloads via ``mapInPandas``.
 
-    Real plumbing, stubbed codec: with a codec lib present this is the
-    place a real decoder goes (and unwired formats raise
-    ``NotImplementedError`` loudly); without one, the deterministic
-    fake keeps schema/batching/partitioning exercised end-to-end."""
-    use_real = _codec_available()
+    The audio leg is a REAL codec path: WAV headers are parsed field
+    by field (stdlib ``struct``) and features come from the decoded
+    int16 PCM samples. Pixel formats keep the deterministic labeled
+    fake so schema/batching/partitioning stay exercised end-to-end;
+    with a pixel codec importable the unwired formats raise loudly
+    instead."""
+    pixel_fake_ok = not _codec_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real:  # pragma: no cover - no codecs in container
-                raise NotImplementedError(
-                    "real codec decode not wired; only the fake-histogram "
-                    "decoder is implemented in this environment"
-                )
-            yield _fake_decode_batch(pdf)
+            yield _decode_batch(pdf, pixel_fake_ok)
 
     cols = ["media_id", "media_type", "content"]
     return media.select(*cols).mapInPandas(run, schema=DECODED_SCHEMA)

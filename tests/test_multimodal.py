@@ -95,3 +95,62 @@ def test_resize_media_aspect_clamp_and_passthrough(spark):
     assert audio["width"] is None and audio["height"] is None
     assert bytes(audio["content"]) == b"pcm-bytes"
     assert audio["resizer"] == "fake-stride-v1"
+
+
+def test_wav_encode_is_readable_by_stdlib_wave():
+    """Golden check with an INDEPENDENT reader: Python's stdlib `wave`
+    module must accept our writer's output and report the same
+    parameters our parser extracts — writer and parser can't share a
+    bug with a third implementation in the loop."""
+    import io
+    import wave as stdlib_wave
+
+    for data in (b"", b"x", b"hello world", bytes(range(256)) * 7):
+        payload = M.wav_encode(data, sample_rate=16_000)
+        with stdlib_wave.open(io.BytesIO(payload)) as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == 16_000
+            assert w.getnframes() == (len(data) + 1) // 2
+            frames = w.readframes(w.getnframes())
+        parsed = M.wav_parse_header(payload)
+        assert parsed["sample_rate"] == 16_000
+        assert parsed["n_channels"] == 1
+        assert parsed["bits_per_sample"] == 16
+        assert parsed["n_samples"] == (len(data) + 1) // 2
+        assert parsed["data"] == frames
+
+
+def test_wav_parse_rejects_malformed():
+    for bad in (b"", b"RIFFxxxx", b"not a wav at all" * 4,
+                M.wav_encode(b"ok")[:40]):
+        with pytest.raises(ValueError):
+            M.wav_parse_header(bad)
+
+
+def test_audio_decode_is_real_wav_path(spark, media):
+    """Fixture audio rows must round-trip: real WAV container out of
+    synthesis, struct-parsed metadata out of decode, and features
+    computed over the decoded int16 samples (not the raw bytes)."""
+    decoded = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    payloads = {r["media_id"]: bytes(r["content"]) for r in media.collect()
+                if r["media_type"] == "audio"}
+    assert payloads, "fixture has no audio rows?"
+    for mid, payload in payloads.items():
+        d = decoded[mid]
+        assert d["decoder"] == "wav-pcm-v1"
+        assert payload[:4] == b"RIFF"
+        assert d["sample_rate"] == 16_000
+        assert d["n_channels"] == 1 and d["bits_per_sample"] == 16
+        assert d["n_bytes"] == len(payload)
+        data = payload[44:]
+        assert d["n_samples"] == len(data) // 2
+        samples = np.frombuffer(data, dtype="<i2")
+        hist, _ = np.histogram(samples, bins=M.FEATURE_DIM,
+                               range=(-32768, 32768))
+        want = (hist / samples.size).astype(np.float32)
+        assert np.array_equal(np.array(d["features"], dtype=np.float32), want)
+    # image rows keep the labeled fake
+    img = next(r for r in decoded.values() if r["media_type"] == "image")
+    assert img["decoder"] == "fake-histogram-v1"
+    assert img["sample_rate"] is None
