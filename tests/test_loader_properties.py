@@ -104,3 +104,39 @@ def test_known_tricky_rows(spark, tmp_path):
         (9, "trimmed", "ok"),
     ]
     assert got == model_load(csv_text)
+
+
+def test_first_wins_across_multiple_file_splits(spark, tmp_path):
+    """Round-2 verdict item #8: first-occurrence-in-file-order dedup
+    relies on monotonically_increasing_id partition indices tracking
+    split order WITHIN one file. Pin it at multi-split scale: a CSV
+    big enough for many splits (maxPartitionBytes forced down), every
+    id duplicated with its second occurrence ~half a file away, so
+    duplicate pairs straddle split boundaries throughout."""
+    n = 4000
+    pad = "x" * 200  # fatten rows so the file spans many splits
+    lines = ["id,username,about"]
+    lines += [f"{k},first_{k},{pad}" for k in range(n)]
+    lines += [f"{k},second_{k},{pad}" for k in range(n)]
+    p = tmp_path / "users.csv"
+    p.write_text("\n".join(lines) + "\n")
+
+    conf = spark.conf
+    old = conf.get("spark.sql.files.maxPartitionBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = read_csv_strict(spark, str(p), USERS, ["id"], dedupe_keys=["id"])
+        # the premise: the forced split size actually produced many
+        # splits of the ONE file (otherwise this test pins nothing)
+        n_splits = (
+            spark.read.schema("id string, username string, about string")
+            .option("header", True)
+            .csv(str(p))
+            .rdd.getNumPartitions()
+        )
+        assert n_splits >= 4, f"file read as {n_splits} split(s)"
+        got = {r["id"]: r["username"] for r in df.collect()}
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(got) == n
+    assert all(got[k] == f"first_{k}" for k in range(n))
