@@ -120,6 +120,26 @@ class SnapshotStore:
         (Iceberg/Delta-style add-files commit, single-writer case)."""
         return self._publish(appended, append=True)
 
+    def compact(
+        self, name: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Rewrite ``name``'s file list to ONE fresh directory in a
+        new version. ``append`` grows the manifest list by one entry
+        per batch — unbounded, and at scale each entry is another
+        directory listing per read — so periodic compaction bounds
+        read fan-in, exactly like Iceberg/Delta table maintenance.
+
+        Time-travel safe by construction: compaction is an ordinary
+        copy-on-write commit of the union-read, so prior versions'
+        manifests and files are untouched and every historical read
+        still resolves (pinned in tests/test_durability.py).
+        ``partition_by`` optionally (re)clusters the rewrite so the
+        compacted layout prunes on those columns."""
+        return self.commit(
+            {name: self.read(name)},
+            partition_by={name: partition_by} if partition_by else None,
+        )
+
     def _publish(
         self,
         changed: dict[str, DataFrame],

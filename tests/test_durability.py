@@ -132,3 +132,42 @@ def test_time_travel_reads_any_committed_version(store, spark):
         store.tables(version=v3 + 1)
     with pytest.raises(ValueError):
         store.tables(version=0)
+
+
+def test_compact_bounds_manifest_and_keeps_time_travel(store, spark):
+    """Round-2 verdict item #10: append grows the manifest file list
+    unboundedly. compact() must rewrite the list to ONE directory in
+    a NEW version while every previously-committed version still
+    reads byte-identically."""
+    df = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id", "id * 2 AS v"
+    )
+    base = store.current_version()  # fixture pre-commits one version
+    store.commit({"u": df(0, 10)})
+    n_appends = 4
+    for i in range(1, n_appends + 1):
+        store.append({"u": df(10 * i, 10 * (i + 1))})
+    assert len(store.tables()["u"]) == n_appends + 1
+
+    # expected contents at each pre-compaction version of u
+    want = {
+        base + v: set(range(10 * v)) for v in range(1, n_appends + 2)
+    }
+    v_compact = store.compact("u")
+    assert v_compact == base + n_appends + 2
+    assert len(store.tables()["u"]) == 1  # list rewritten to one dir
+
+    # current read: same rows, via the compacted single directory
+    rows = store.read("u").collect()
+    assert {r["id"] for r in rows} == set(range(10 * (n_appends + 1)))
+    assert all(r["v"] == 2 * r["id"] for r in rows)
+    # every prior version still reads exactly what it read before
+    for v, ids in want.items():
+        assert {r["id"] for r in store.read("u", version=v).collect()} == ids
+    # the fixture's own v1 table is also untouched
+    assert store.read("t", version=base).count() == 2
+
+    # appends after compaction grow from the compacted base
+    store.append({"u": df(50, 60)})
+    assert len(store.tables()["u"]) == 2
+    assert {r["id"] for r in store.read("u").collect()} == set(range(60))
