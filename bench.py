@@ -32,11 +32,14 @@ HEADLINE = [
     "m1_apply_price_deltas",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",  # r3: star-based connected components over LSH pairs
     "text_quality_score",
     "pipeline_clean_corpus",
+    "pipeline_training_mix",  # r3: filter→dedup→sample→budget, one plan
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_kmeans_assign",  # r3: 2-round Lloyd's + assignment
 ]
 
 

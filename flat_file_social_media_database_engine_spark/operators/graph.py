@@ -112,6 +112,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _probe(df: DataFrame) -> tuple[int, int]:
+    """(count, order-free xor checksum) of an edge set in ONE job —
+    the per-round convergence probe. Replaces the count + exceptAll
+    pair (two jobs, one with a full shuffle): on graphs whose edge
+    set has shrunk to thousands of star edges, per-round cost is
+    scheduler-dominated, so halving the jobs halves the round.
+    Distinct sets with equal (count, xor) are a ~2⁻⁶⁴ accident, and
+    the final star-forest guard still structurally validates the
+    stopping state."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("sig"),
+    ).collect()[0]
+    return int(row["n"]), row["sig"] if row["sig"] is not None else 0
+
+
 def connected_components(
     edges: DataFrame, max_rounds: int | None = None
 ) -> tuple[DataFrame, int]:
@@ -122,17 +138,19 @@ def connected_components(
     caller left-joins and coalesces to the node's own id.
 
     Each round's edge set is RELIABLY checkpointed (see
-    ``_reliable_checkpoint`` — flat plans, survivable executor loss).
-    Raises :class:`ConvergenceError` at the round cap (default
+    ``_reliable_checkpoint`` — flat plans, survivable executor loss)
+    and probed with a single-job count+checksum (see ``_probe`` — a
+    scalar fetch, never a data collect). Raises
+    :class:`ConvergenceError` at the round cap (default
     ``2·log2(|E|) + 6`` — alternation converges in O(log n) rounds on
     real graphs, and the planted-chain test pins ≤ 2·log2(n)); wrong
     labels are never returned silently."""
     cur = _reliable_checkpoint(_canonical(edges))
-    cur_count = cur.count()
+    cur_n, cur_sig = _probe(cur)
     if max_rounds is None:
-        max_rounds = 2 * math.ceil(math.log2(max(cur_count, 2))) + 6
+        max_rounds = 2 * math.ceil(math.log2(max(cur_n, 2))) + 6
     rounds = 0
-    while cur_count > 0:
+    while cur_n > 0:
         if rounds >= max_rounds:
             raise ConvergenceError(
                 f"connected_components: edge set not stable after "
@@ -140,11 +158,9 @@ def connected_components(
             )
         rounds += 1
         nxt = _reliable_checkpoint(_small_star(_large_star(cur)))
-        nxt_count = nxt.count()
-        stable = nxt_count == cur_count and (
-            nxt.exceptAll(cur).limit(1).count() == 0
-        )
-        cur, cur_count = nxt, nxt_count
+        nxt_n, nxt_sig = _probe(nxt)
+        stable = (nxt_n, nxt_sig) == (cur_n, cur_sig)
+        cur, cur_n, cur_sig = nxt, nxt_n, nxt_sig
         if stable:
             break
     # At the fixed point every non-root node carries exactly one edge

@@ -65,11 +65,18 @@ _VERIFY_FIRST = [
     "sim_topk_lsh",
     "sim_neardup_cosine",
     "s5_snapshot_roundtrip",
+    # new this round — never driver-verified
+    "dedup_source_stats",
+    "pipeline_training_mix",
+    "sim_kmeans_assign",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
     # scale-twin of a query still inside the window or a parity entry
-    # whose operator is exercised by other in-window queries.
+    # whose operator is exercised by other in-window queries. This set
+    # ROTATES across rounds: entries here were driver-verified in the
+    # most recent round they were modified, so parking them past slot
+    # 50 loses a re-confirmation, never a first verification.
     "a3_approx_distinct",
     "a5_approx_median",
     "a4_existence_checks",
@@ -81,6 +88,13 @@ _STABLE_TAIL = [
     "text_token_freq",
     "text_fingerprint",
     "text_source_stats",
+    # rotated out to make room for the round-3 additions (all green
+    # r2, unchanged r3; o1/q_top also tracked per-round by bench.py,
+    # and a1's conditional-count pattern is q2's plan shape)
+    "o1_multikey_sort",
+    "dedup_simhash",
+    "q_top_revenue_orders",
+    "a1_conditional_counts",
 ]
 
 

@@ -623,6 +623,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source dedup observability: the report a pipeline operator
+# actually watches — which ingest sources are flooding the corpus
+# with duplicates (a crawl tier gone bad shows up here first).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_source_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, md5({_NORM_SQL}) AS content_digest FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT content_digest) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT content_digest) AS BIGINT)
+               AS n_dup_rows,
+           (count(*) - count(DISTINCT content_digest)) / count(*) AS dup_rate
+    FROM d
+    GROUP BY source
+    """,
+)
+def dedup_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rates over normalized digests.
+    Shuffles (source, digest) only — count-distinct runs as Spark's
+    two-phase partial/final expand, never materializing per-source
+    digest sets; at 100 TB this is the same one-report-row-per-source
+    shape regardless of corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.md5(_norm()).alias("content_digest"))
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("content_digest")
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        nd.alias("n_distinct"),
+        (n - nd).alias("n_dup_rows"),
+        ((n - nd) / n).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: classify a NEW batch of docs against the already-
 # ingested corpus — the shape a production pipeline actually runs
 # (never re-dedup the whole corpus per ingest). Here doc_id >= N_OLD

@@ -574,3 +574,173 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "cell", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's) — the offline clustering job that produces real
+# IVF centroids (sim_topk_ivf's data-sampled stand-ins graduate
+# here). Two full assign→update rounds plus a final assignment, all
+# ORACLE-CHECKED: every distance is the sequential-fold double (bit-
+# identical across engines) and every centroid mean folds its
+# members in vec_id order, so not one aggregation depends on engine
+# summation order.
+# ---------------------------------------------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _km_d2_sql(v: str, c: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM} + 1), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), (x, y) -> x + y)"
+    )
+
+
+def _kmeans_oracle() -> str:
+    zero_v = f"list_transform(range(1, {_DIM} + 1), i -> CAST(0 AS DOUBLE))"
+    ctes = [
+        f"""base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )""",
+        f"c_0 AS (SELECT vec_id AS cid, v FROM base WHERE vec_id < {KMEANS_K})",
+    ]
+    for it in range(KMEANS_ITERS):
+        c, a, g, u, cn = f"c_{it}", f"a_{it}", f"g_{it}", f"u_{it}", f"c_{it + 1}"
+        ctes += [
+            f"""{a} AS (
+      SELECT vec_id, cid AS cell, d2 FROM (
+        SELECT b.vec_id, c.cid, {_km_d2_sql('b.v', 'c.v')} AS d2,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid)
+                   AS rn
+        FROM base b CROSS JOIN {c} c
+      ) WHERE rn = 1
+    )""",
+            f"""{g} AS (
+      SELECT a.cell, list(b.v ORDER BY b.vec_id) AS vs
+      FROM {a} a JOIN base b USING (vec_id)
+      GROUP BY a.cell
+    )""",
+            f"""{u} AS (
+      SELECT cell AS cid,
+             list_transform(
+               list_reduce(list_prepend({zero_v}, vs),
+                 (acc, x) -> list_transform(range(1, {_DIM} + 1),
+                                            i -> acc[i] + x[i])),
+               s -> s / len(vs)) AS v
+      FROM {g}
+    )""",
+            f"""{cn} AS (
+      SELECT c.cid, coalesce(u.v, c.v) AS v
+      FROM {c} c LEFT JOIN {u} u USING (cid)
+    )""",
+        ]
+    final_c = f"c_{KMEANS_ITERS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, d2 AS dist2 FROM (
+      SELECT b.vec_id, c.cid AS cell, {_km_d2_sql('b.v', 'c.v')} AS d2,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid) AS rn
+      FROM base b CROSS JOIN {final_c} c
+    ) WHERE rn = 1
+    """
+    )
+
+
+def _km_d2(v, c):
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _km_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-only assignment: the K centroids collapse into ONE row of
+    array<struct(cid, v)> that rides a broadcast cross join, and the
+    argmin over (d2, cid) is an array_min over per-row structs — no
+    shuffle at all, versus the crossJoin+window formulation that
+    shuffles N×K rows. (The ORACLE uses the window formulation; the
+    mechanics differ but the argmin key (d2, cid) is bit-identical.)"""
+    packed = cents.select(
+        F.struct(F.col("cid"), F.col("v")).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _km_d2(F.col("v"), c["v"]).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return base.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "v",
+        best["cid"].alias("cell"),
+        best["d2"].alias("d2"),
+    )
+
+
+@query("sim_kmeans_assign", oracle=_kmeans_oracle())
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, 2 rounds + final assignment, deterministic
+    end-to-end (seeds = the first K vectors, the stand-in for k-means‖
+    init at scale).
+
+    Plan shape per round: assignment is MAP-ONLY (see ``_km_assign``);
+    the update is ONE shuffle keyed by cell. Determinism contract for
+    the oracle: distances are sequential zip-fold doubles; centroid
+    means fold members in vec_id order (collect_list + sort_array,
+    mirroring DuckDB ``list(v ORDER BY vec_id)``), and empty cells
+    carry their previous centroid. At 100 TB the ordered-fold update
+    swaps for exact DECIMAL(38,18) partial sums (order-free, map-side
+    combinable) — collect_list per cell is the fixture-scale choice
+    that makes the cross-engine differential bit-exact; the assignment
+    and convergence structure are unchanged by that swap."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = base.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "v"
+    )
+    zero_v = F.array_repeat(F.lit(0.0), _DIM)
+    for _ in range(KMEANS_ITERS):
+        asn = _km_assign(base, cents)
+        upd = (
+            asn.groupBy("cell")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
+                ).alias("ms")
+            )
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform(
+                    F.aggregate(
+                        F.col("ms"),
+                        zero_v,
+                        lambda acc, m: F.zip_with(
+                            acc, m["v"], lambda a, x: a + x
+                        ),
+                    ),
+                    lambda s: s / F.size("ms"),
+                ).alias("v"),
+            )
+        )
+        cents = (
+            cents.alias("c")
+            .join(upd.alias("u"), "cid", "left")
+            .select("cid", F.coalesce(F.col("u.v"), F.col("c.v")).alias("v"))
+        )
+    final = _km_assign(base, cents)
+    return final.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"), F.col("d2").alias("dist2")
+    )

@@ -655,3 +655,113 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_tf") / F.col("n_tokens")).alias("mean_token_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-mix build: the four pipeline stages a real
+# 100 TB data build chains — quality filter, exact dedup (keep-first),
+# deterministic per-source downsampling, and sequence budgeting —
+# composed into ONE plan and reported per source. This is the
+# flagship shape of the LLM-data tier: each stage's scale posture is
+# inherited from its standalone query (filter rides the scan, dedup
+# shuffles digests not bodies, sampling is a map-side hash threshold,
+# the report is one row per source).
+# ---------------------------------------------------------------------------
+_MIX_SALT = "trainmix-v1"  # decorrelated from sample_stratified's salt
+
+
+@query(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source, text,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_uniq
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source, text, n_tokens
+      FROM m
+      WHERE n_tokens >= {_CLEAN_MIN_TOKENS}
+        AND n_uniq / n_tokens >= {_CLEAN_MIN_UNIQ}
+    ),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id,
+             arg_min(source, doc_id) AS source,
+             min(n_tokens) AS n_tokens
+      FROM kept
+      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ),
+    sampled AS (
+      SELECT doc_id, source, n_tokens,
+             CAST({_rate_case_sql()} AS DOUBLE) AS keep_rate
+      FROM survivors
+      WHERE CAST(('0x' || substr(md5('{_MIX_SALT}-' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < CAST({_rate_case_sql()} AS DOUBLE) * {_H60_MAX}
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT)
+               AS n_sequences,
+           min(keep_rate) AS keep_rate
+    FROM sampled
+    GROUP BY source
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup (keep-first survivor carries its
+    source) → salted-hash downsample at per-source mixture rates →
+    per-source token totals and SEQ_LEN-sequence budget, in one plan.
+
+    Stage ordering is the scale decision: the filter drops 30-60% of
+    raw crawl BEFORE the dedup shuffle, dedup halves again before the
+    (map-only) sampler, and only one report row per source ever
+    reaches the final agg. Stages reuse the standalone operators'
+    exact semantics (same digesting, same hash-threshold family), so
+    the composed oracle is the composed SQL of the pieces.
+    ``n_sequences`` is integer ceil-division — exact on both engines;
+    the survivor's attributes come from ``min_by``/``arg_min`` on the
+    group's minimum doc_id (first-wins, deterministic)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    m = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+    )
+    kept = m.filter(
+        (F.col("n_tokens") >= _CLEAN_MIN_TOKENS)
+        & (F.col("n_uniq") / F.col("n_tokens") >= _CLEAN_MIN_UNIQ)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    survivors = kept.groupBy(norm.alias("__norm")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    src_idx = F.substring("source", 4, 10).cast("bigint") % len(_SAMPLE_RATES)
+    rate = F.lit(None).cast("double")
+    for i, r in reversed(list(enumerate(_SAMPLE_RATES))):
+        rate = F.when(src_idx == i, F.lit(r)).otherwise(rate)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_MIX_SALT + "-"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = survivors.withColumn("keep_rate", rate).filter(
+        h < F.col("keep_rate") * F.lit(_H60_MAX)
+    )
+    total = F.sum("n_tokens")
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.cast("bigint").alias("total_tokens"),
+        F.floor((total + SEQ_LEN - 1) / SEQ_LEN).cast("bigint").alias("n_sequences"),
+        F.min("keep_rate").alias("keep_rate"),
+    )

@@ -49,3 +49,77 @@ def test_a3_approx_distinct_scale_variant(spark, sf_small):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"]
+
+
+def test_oracle_coverage_is_total(spark):
+    """Round 3: every registered query has an oracle — the driver
+    surface has zero rows-only checks left."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) == set(qs)
+
+
+def test_dedup_source_stats_invariants(spark, sf_small):
+    from flat_file_social_media_database_engine_spark.workloads.dedup import (
+        dedup_source_stats,
+    )
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    rows = dedup_source_stats(spark, sf_small).collect()
+    assert sum(r["n_docs"] for r in rows) == read_table(
+        spark, sf_small, "documents"
+    ).count()
+    for r in rows:
+        assert r["n_dup_rows"] == r["n_docs"] - r["n_distinct"] >= 0
+        assert r["dup_rate"] == r["n_dup_rows"] / r["n_docs"]
+
+
+def test_pipeline_training_mix_budget_math(spark, sf_small):
+    from flat_file_social_media_database_engine_spark.workloads.text import (
+        SEQ_LEN,
+        _SAMPLE_RATES,
+        pipeline_training_mix,
+    )
+
+    rows = pipeline_training_mix(spark, sf_small).collect()
+    assert rows, "mix report is empty"
+    for r in rows:
+        assert r["keep_rate"] in _SAMPLE_RATES
+        assert r["n_sequences"] == -(-r["total_tokens"] // SEQ_LEN)  # ceil
+        assert r["n_docs"] >= 1 and r["total_tokens"] >= r["n_docs"]
+
+
+def test_kmeans_assignment_improves_and_is_valid(spark, sf_small):
+    """Each vector lands in a legal cell with the minimal distance to
+    the FINAL centroids being <= its distance to its round-0 seed
+    centroid assignment (Lloyd's never increases the objective)."""
+    from flat_file_social_media_database_engine_spark.workloads import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    out = S.sim_kmeans_assign(spark, sf_small)
+    rows = out.collect()
+    n = read_table(spark, sf_small, "embeddings").count()
+    assert len(rows) == n
+    assert all(0 <= r["cell"] < S.KMEANS_K for r in rows)
+    assert all(r["dist2"] >= 0.0 for r in rows)
+    final_obj = sum(r["dist2"] for r in rows)
+
+    # round-0 objective: distance to nearest SEED centroid
+    emb = read_table(spark, sf_small, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seeds = base.filter(F.col("vec_id") < S.KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "v"
+    )
+    seed_obj = sum(
+        r["d2"] for r in S._km_assign(base, seeds).collect()
+    )
+    assert final_obj <= seed_obj + 1e-9
