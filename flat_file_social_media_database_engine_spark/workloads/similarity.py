@@ -703,10 +703,18 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) — collect_list per cell is the fixture-scale choice
     that makes the cross-engine differential bit-exact; the assignment
     and convergence structure are unchanged by that swap."""
+    from ..plans.materialize import materialize
+
     emb = read_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    # Materialize the double-cast vectors ONCE (spill-safe persist +
+    # count barrier): the iterative plan otherwise re-scans the base
+    # table per round (2 assign sides + 1 update join each) — 8 scans
+    # for 2 rounds, and at 100 TB each would be a full corpus read.
+    base = materialize(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     cents = base.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), "v"
