@@ -39,6 +39,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_topk_pq",  # r3: int8-quantized scan + exact re-score
     "sim_kmeans_assign",  # r3: 2-round Lloyd's + assignment
 ]
 

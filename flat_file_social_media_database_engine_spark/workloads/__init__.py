@@ -69,6 +69,7 @@ _VERIFY_FIRST = [
     "dedup_source_stats",
     "pipeline_training_mix",
     "sim_kmeans_assign",
+    "sim_topk_pq",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -95,6 +96,7 @@ _STABLE_TAIL = [
     "dedup_simhash",
     "q_top_revenue_orders",
     "a1_conditional_counts",
+    "j5_ri_sweep",
 ]
 
 

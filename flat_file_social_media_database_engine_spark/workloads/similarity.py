@@ -752,3 +752,203 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "vec_id", F.col("cell").cast("bigint").alias("cell"), F.col("d2").alias("dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized ANN (int8 codes + exact re-score) — the memory-
+# tier technique IVF lists use at 100 TB: base vectors live as 1-byte
+# codes (4-8x smaller scans, cheaper cache residency), the quantized
+# scan produces an over-fetched candidate list, and only candidates
+# are re-scored against the full-precision vectors. Deterministic
+# end-to-end — quantization is floor math on sequential-fold doubles
+# — so unlike most ANN implementations the whole path oracle-checks.
+# ---------------------------------------------------------------------------
+PQ_LEVELS = 255  # int8-range code book (0..255 inclusive via floor+clamp)
+PQ_OVERFETCH = 3  # candidates per query = PQ_OVERFETCH * TOP_K
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT i,
+             min(v[i]) AS lo,
+             max(v[i]) AS hi
+      FROM base, unnest(range(1, {_DIM} + 1)) AS t(i)
+      GROUP BY i
+    ),
+    sarr AS (
+      SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+      FROM stats
+    ),
+    quant AS (
+      SELECT b.vec_id,
+             list_transform(range(1, {_DIM} + 1),
+               i -> CASE WHEN s.his[i] = s.los[i] THEN 0
+                         ELSE least({PQ_LEVELS}, CAST(floor(
+                           (b.v[i] - s.los[i]) / (s.his[i] - s.los[i])
+                           * {PQ_LEVELS}) AS BIGINT)) END) AS code
+      FROM base b CROSS JOIN sarr s
+    ),
+    deq AS (
+      SELECT q.vec_id,
+             list_transform(range(1, {_DIM} + 1),
+               i -> s.los[i] + q.code[i] * (s.his[i] - s.los[i])
+                    / {PQ_LEVELS}) AS dv
+      FROM quant q CROSS JOIN sarr s
+    ),
+    dnorm AS (
+      SELECT vec_id, dv, sqrt({_dot_sql('dv', 'dv')}) AS dn FROM deq
+    ),
+    approx AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_dot_sql('q.dv', 'b.dv')} / (q.dn * b.dn) AS acos
+      FROM dnorm q CROSS JOIN dnorm b
+      WHERE q.vec_id < {N_QUERIES} AND b.vec_id <> q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY acos DESC, neighbor_id) AS arnk
+        FROM approx
+      ) WHERE arnk <= {PQ_OVERFETCH * TOP_K}
+    ),
+    fullv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm)
+                 AS cosine
+      FROM cand c
+      JOIN fullv q ON q.vec_id = c.query_id
+      JOIN fullv n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_topk_pq", oracle=_pq_oracle())
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized cosine top-k: per-dimension (min, max) ranges
+    quantize every vector to {PQ_LEVELS}-level codes; the approximate
+    scan ranks DEQUANTIZED vectors and over-fetches 3·k candidates;
+    exact sequential-fold re-scoring on the full-precision vectors
+    produces the final top-k.
+
+    Plan shape: the stats pass is one posexplode + per-dim min/max
+    agg whose 64-row result collapses to a single broadcast row (the
+    codebook); quantize/dequantize are map-only array expressions;
+    the approximate scan reuses the brute-force two-phase top-k
+    discipline; re-scoring touches Q·3k rows. At 100 TB the codes
+    column (64 bytes/vector vs 256+) is what actually sits in the IVF
+    lists, and the stats pass runs once offline — determinism here
+    (min/max are order-free aggregates, floor/clamp and folds are
+    exact IEEE) is what lets the oracle pin the entire path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    stats = (
+        base.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    sarr = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "lo"))), lambda s: s["lo"]
+        ).alias("los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "hi"))), lambda s: s["hi"]
+        ).alias("his"),
+    )
+    # ONE broadcast of the codebook row, and quantize→dequantize as a
+    # SINGLE per-element formula. Two chained transforms (code array,
+    # then dv indexing into it) hit the CollapseProject trap: the
+    # whole 64-element code expression inlines into EVERY dv element
+    # lookup — O(dim²) interpreted evals per row, measured ~3s for
+    # 2000 rows (same failure mode the round-2 MinHash rework
+    # documented). The fused formula below is the oracle's
+    # code→dequantize arithmetic composed symbolically — identical
+    # double ops in identical order, each element O(1).
+    withs = base.crossJoin(F.broadcast(sarr))
+    idx = F.sequence(F.lit(0), F.lit(_DIM - 1))
+
+    def _deq(i):
+        lo, hi = F.col("los")[i], F.col("his")[i]
+        code = F.least(
+            F.lit(PQ_LEVELS).cast("bigint"),
+            F.floor((F.col("v")[i] - lo) / (hi - lo) * PQ_LEVELS),
+        )
+        return F.when(hi == lo, lo).otherwise(lo + code * (hi - lo) / PQ_LEVELS)
+
+    dnorm = withs.select(
+        "vec_id", F.transform(idx, _deq).alias("dv")
+    ).select("vec_id", "dv", F.sqrt(_dot("dv", "dv")).alias("dn"))
+    q = dnorm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dv").alias("qv"),
+        F.col("dn").alias("qn"),
+    )
+    approx = dnorm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot("qv", "dv") / (F.col("qn") * F.col("dn"))).alias("acos"),
+    )
+    w_local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        F.col("acos").desc(), "neighbor_id"
+    )
+    over = PQ_OVERFETCH * TOP_K
+    local = approx.withColumn("r", F.row_number().over(w_local)).filter(
+        F.col("r") <= over
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), "neighbor_id"
+    )
+    cand = (
+        local.withColumn("arnk", F.row_number().over(w_global))
+        .filter(F.col("arnk") <= over)
+        .select("query_id", "neighbor_id")
+    )
+    fullv = emb.select(
+        "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
+    )
+    qf = fullv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn2"),
+    )
+    nf = fullv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn2"),
+    )
+    rescored = (
+        cand.join(F.broadcast(qf), "query_id")
+        .join(nf, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qe", "ne") / (F.col("qn2") * F.col("nn2"))).alias("cosine"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

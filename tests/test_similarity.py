@@ -186,3 +186,19 @@ def test_neardup_blocks_scale_with_corpus(spark):
     expect = set(zip(ii.tolist(), jj.tolist()))
     assert expect <= got
     assert {(0, 4999), (17, 2500), (1234, 1235)} <= got
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """Scalar quantization at 255 levels loses little: recall@5 vs
+    the exact baseline should be near-perfect on the fixture, and far
+    above the LSH tier (which trades recall for candidate pruning)."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.sim_topk_bruteforce(spark, SF_MEDIUM).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.sim_topk_pq(spark, SF_MEDIUM).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"pq recall {recall}"
