@@ -112,6 +112,53 @@ _SHINGLES_SQL = f"""
          ELSE [] END
 """
 
+
+def _shingles_udf():
+    """Arrow-vectorized tokenize+shingle pass — replaces the
+    interpreted-HOF ``_shingles(_tokens())`` expression in the SHARED
+    materialization only (measured ~2.5s → ~0.3s for 5000 docs at
+    sf0.1; higher-order functions are evaluated interpreted, and this
+    pass is the widest map stage of the dedup tier — same escape-hatch
+    precedent as ``_minhash_sig_udf``).
+
+    Semantics replicate the JVM expression EXACTLY (the expression
+    form stays in the module as the executable spec, and equivalence
+    is pinned in tests/test_dedup.py):
+    - trim strips SPACES only (Spark/DuckDB ``trim``, not Python
+      ``str.strip``'s all-whitespace);
+    - ``re.ASCII`` makes Python's ``\\s`` the Java/RE2 ASCII class;
+    - Spark's ``split`` runs with limit=-1, so trailing empty fields
+      are KEPT (unlike ``String.split``'s default) — ``re.split``
+      matches that natively; the equivalence test pins it;
+    - distinct keeps first-occurrence order (``dict.fromkeys``)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @pandas_udf("array<string>")
+    def sh(texts):
+        out = []
+        for t in texts:
+            t = (t or "").strip(" ")
+            toks = ws.split(t)
+            if len(toks) >= SHINGLE_K:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + SHINGLE_K])
+                            for i in range(len(toks) - SHINGLE_K + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return sh
+
 _DOC_SHINGLES_SQL = f"""
     WITH tok AS (
       SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
@@ -158,7 +205,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = materialize(docs.select("doc_id", _shingles(_tokens()).alias("shingles")))
+    sh = materialize(docs.select("doc_id", _shingles_udf()("text").alias("shingles")))
     _SHINGLE_CACHE[key] = sh
     return sh
 

@@ -105,3 +105,43 @@ def test_incremental_dedup_statuses(spark, tmp_path_factory):
         402: "dup_of_corpus",  # normalizes to corpus doc 0's digest
         403: "unique",
     }
+
+
+def test_shingle_udf_matches_expression_formulation(spark, tmp_path_factory):
+    """The Arrow shingle pass must agree with the JVM expression spec
+    (`_shingles(_tokens())`) element-for-element — on the real fixture
+    AND on adversarial whitespace (tabs, trailing separators, leading
+    separators, short/empty docs), where Spark split's keep-trailing-
+    empties (limit=-1) rule and ASCII \\s class are easy to get
+    wrong."""
+    from pyspark.sql import functions as F
+
+    tricky = [
+        (0, "plain three token doc"),
+        (1, "  leading spaces only trimmed here ok"),
+        (2, "\ttab lead keeps empty token a b c"),
+        (3, "trailing tab then drop\t"),
+        (4, "trailing spaces   "),
+        (5, "mixed\t\nseparators\x0bbetween these tokens yes"),
+        (6, "two toks"),
+        (7, ""),
+        (8, "   "),
+        (9, "a b c a b c a b c"),  # duplicate shingles -> distinct
+        (10, "x\ty\nz w"),
+    ]
+    df = spark.createDataFrame(tricky, "doc_id long, text string")
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for src in (df, fixture.select("doc_id", "text")):
+        expr = {
+            r["doc_id"]: r["s"]
+            for r in src.select(
+                "doc_id", D._shingles(D._tokens()).alias("s")
+            ).collect()
+        }
+        udf = {
+            r["doc_id"]: r["s"]
+            for r in src.select(
+                "doc_id", D._shingles_udf()("text").alias("s")
+            ).collect()
+        }
+        assert expr == udf
