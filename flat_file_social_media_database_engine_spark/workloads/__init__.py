@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "pipeline_training_mix",
     "sim_kmeans_assign",
     "sim_topk_pq",
+    "events_anomaly_zscore",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -97,6 +98,7 @@ _STABLE_TAIL = [
     "q_top_revenue_orders",
     "a1_conditional_counts",
     "j5_ri_sweep",
+    "text_repetition_ratio",
 ]
 
 

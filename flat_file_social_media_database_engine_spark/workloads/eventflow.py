@@ -574,3 +574,100 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _EVENT_TYPES
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume-anomaly detection: z-score of each hour's event count against
+# its event_type's own distribution — the monitoring query an ingest
+# pipeline alerts on (a crawler going dark or a bot flood both show up
+# as |z| spikes). Two map-side-combinable aggregations and a broadcast
+# join back; all moments are exact integer sums, so the doubles
+# derived from them are deterministic cross-engine (no Welford, no
+# order-dependent float accumulation).
+# ---------------------------------------------------------------------------
+ANOMALY_Z = 2.0
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type,
+             count(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n_hours,
+             CAST(sum(n_events) AS DOUBLE) AS s1,
+             CAST(sum(n_events * n_events) AS DOUBLE) AS s2
+      FROM hourly
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT h.window_start, h.event_type, h.n_events,
+             s.s1 / s.n_hours AS mean_events,
+             sqrt(greatest(0.0, s.s2 / s.n_hours
+                  - (s.s1 / s.n_hours) * (s.s1 / s.n_hours))) AS std_events
+      FROM hourly h JOIN stats s USING (event_type)
+    )
+    SELECT window_start, event_type, n_events, mean_events, std_events,
+           CASE WHEN std_events = 0.0 THEN 0.0
+                ELSE (CAST(n_events AS DOUBLE) - mean_events) / std_events
+           END AS zscore,
+           CASE WHEN std_events = 0.0 THEN FALSE
+                ELSE abs((CAST(n_events AS DOUBLE) - mean_events)
+                         / std_events) >= {ANOMALY_Z}
+           END AS is_anomaly
+    FROM m
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) volume z-scores. Population moments come
+    from exact BIGINT sums (sum, sum-of-squares) so mean/std/z are
+    bit-deterministic; std=0 degenerates to z=0, never NaN (variance
+    clamped at 0 before sqrt for float-rounding safety). Plan: hourly
+    group-by (one shuffle), a per-type stats agg that collapses to a
+    handful of rows, and a broadcast join back — the 100 TB shape is
+    unchanged because stats rows scale with |event_type|, not data."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").cast("double").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_hours")
+    std = F.sqrt(
+        F.greatest(
+            F.lit(0.0), F.col("s2") / F.col("n_hours") - mean * mean
+        )
+    )
+    m = hourly.join(F.broadcast(stats), "event_type").select(
+        "window_start",
+        "event_type",
+        "n_events",
+        mean.alias("mean_events"),
+        std.alias("std_events"),
+    )
+    z = (F.col("n_events").cast("double") - F.col("mean_events")) / F.col(
+        "std_events"
+    )
+    zero_std = F.col("std_events") == 0.0
+    return m.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        "mean_events",
+        "std_events",
+        F.when(zero_std, F.lit(0.0)).otherwise(z).alias("zscore"),
+        F.when(zero_std, F.lit(False))
+        .otherwise(F.abs(z) >= ANOMALY_Z)
+        .alias("is_anomaly"),
+    )
