@@ -89,13 +89,22 @@ class SnapshotStore:
         return {n: [p] if isinstance(p, str) else list(p) for n, p in raw.items()}
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
-        return self.spark.read.parquet(*self.tables(version)[name])
+        """Union-read the table's file list. ``mergeSchema`` makes the
+        read schema the UNION of all listed directories' schemas, so a
+        column added by a later append is nullable-absent in older
+        files instead of silently dropped — parquet's additive schema
+        evolution, which is the only kind ``append`` can create (a
+        REPLACE commit rewrites to one directory, so mixed schemas
+        only ever arise from appends). Each version's manifest is
+        immutable, so time-travel reads resolve the schema as of that
+        version (pinned in tests/test_durability.py)."""
+        return (
+            self.spark.read.option("mergeSchema", True)
+            .parquet(*self.tables(version)[name])
+        )
 
     def read_all(self, version: int | None = None) -> dict[str, DataFrame]:
-        return {
-            n: self.spark.read.parquet(*ps)
-            for n, ps in self.tables(version).items()
-        }
+        return {n: self.read(n, version) for n in self.tables(version)}
 
     # -- write ------------------------------------------------------------
     def commit(

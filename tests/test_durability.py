@@ -171,3 +171,29 @@ def test_compact_bounds_manifest_and_keeps_time_travel(store, spark):
     store.append({"u": df(50, 60)})
     assert len(store.tables()["u"]) == 2
     assert {r["id"] for r in store.read("u").collect()} == set(range(60))
+
+
+def test_append_with_added_column_schema_evolution(store, spark):
+    """Additive schema evolution: an append carrying a NEW column must
+    surface it on the current read (old rows nullable-absent), while
+    time-travel reads still resolve each version's own schema."""
+    base = spark.range(0, 5).selectExpr("id", "id * 2 AS v")
+    v1 = store.commit({"u": base})
+    widened = spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS v", "concat('tag', id) AS tag"
+    )
+    store.append({"u": widened})
+
+    cur = store.read("u")
+    assert set(cur.columns) == {"id", "v", "tag"}
+    rows = {r["id"]: r for r in cur.collect()}
+    assert len(rows) == 8
+    assert rows[2]["tag"] is None          # pre-evolution rows: null
+    assert rows[7]["tag"] == "tag7"        # appended rows carry it
+    # the pre-evolution version still reads its own (narrow) schema
+    assert set(store.read("u", version=v1).columns) == {"id", "v"}
+    # compaction rewrites the union schema into one directory
+    store.compact("u")
+    assert len(store.tables()["u"]) == 1
+    after = {r["id"]: r["tag"] for r in store.read("u").collect()}
+    assert after[1] is None and after[6] == "tag6"
