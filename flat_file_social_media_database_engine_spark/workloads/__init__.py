@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "sim_kmeans_assign",
     "sim_topk_pq",
     "events_anomaly_zscore",
+    "sim_topk_ivf_kmeans",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -99,6 +100,9 @@ _STABLE_TAIL = [
     "a1_conditional_counts",
     "j5_ri_sweep",
     "text_repetition_ratio",
+    # a3's exact count-distinct shape is exercised in-window by
+    # dedup_source_stats (countDistinct per group)
+    "a3_distinct_counts",
 ]
 
 

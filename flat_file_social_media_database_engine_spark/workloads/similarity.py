@@ -597,7 +597,10 @@ def _km_d2_sql(v: str, c: str) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> tuple[str, str]:
+    """(CTE chain, final-centroid CTE name) of the unrolled Lloyd
+    iterations — shared by the assignment oracle and the
+    kmeans-trained IVF oracle."""
     zero_v = f"list_transform(range(1, {_DIM} + 1), i -> CAST(0 AS DOUBLE))"
     ctes = [
         f"""base AS (
@@ -637,11 +640,13 @@ def _kmeans_oracle() -> str:
       FROM {c} c LEFT JOIN {u} u USING (cid)
     )""",
         ]
-    final_c = f"c_{KMEANS_ITERS}"
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
+    return ",\n    ".join(ctes), f"c_{KMEANS_ITERS}"
+
+
+def _kmeans_oracle() -> str:
+    ctes, final_c = _kmeans_ctes()
+    return f"""
+    WITH {ctes}
     SELECT vec_id, CAST(cell AS BIGINT) AS cell, d2 AS dist2 FROM (
       SELECT b.vec_id, c.cid AS cell, {_km_d2_sql('b.v', 'c.v')} AS d2,
              row_number() OVER (PARTITION BY b.vec_id
@@ -649,7 +654,6 @@ def _kmeans_oracle() -> str:
       FROM base b CROSS JOIN {final_c} c
     ) WHERE rn = 1
     """
-    )
 
 
 def _km_d2(v, c):
@@ -703,13 +707,26 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) — collect_list per cell is the fixture-scale choice
     that makes the cross-engine differential bit-exact; the assignment
     and convergence structure are unchanged by that swap."""
+    base, cents = _kmeans_train(spark, sf_dir)
+    final = _km_assign(base, cents)
+    return final.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"), F.col("d2").alias("dist2")
+    )
+
+
+def _kmeans_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """((vec_id, v double-cast base), (cid, v) trained centroids) —
+    the Lloyd loop shared by ``sim_kmeans_assign`` and the
+    kmeans-trained IVF query. The base is materialized ONCE
+    (spill-safe persist + count barrier): the iterative plan
+    otherwise re-scans the base table per round (2 assign sides + 1
+    update join each) — 8 scans for 2 rounds, and at 100 TB each
+    would be a full corpus read."""
     from ..plans.materialize import materialize
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # Materialize the double-cast vectors ONCE (spill-safe persist +
-    # count barrier): the iterative plan otherwise re-scans the base
-    # table per round (2 assign sides + 1 update join each) — 8 scans
-    # for 2 rounds, and at 100 TB each would be a full corpus read.
     base = materialize(
         emb.select(
             "vec_id",
@@ -748,10 +765,141 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(upd.alias("u"), "cid", "left")
             .select("cid", F.coalesce(F.col("u.v"), F.col("c.v")).alias("v"))
         )
-    final = _km_assign(base, cents)
-    return final.select(
-        "vec_id", F.col("cell").cast("bigint").alias("cell"), F.col("d2").alias("dist2")
+    return base, cents
+
+
+# ---------------------------------------------------------------------------
+# IVF over TRAINED centroids — the composed train→index→search
+# pipeline: k-means centroids (above) become the coarse quantizer,
+# vectors land in their nearest cell, queries probe the nprobe
+# nearest cells, and candidates score exactly on the full-precision
+# embeddings. Every stage is the deterministic arithmetic of its
+# standalone query, so the composition oracle-checks end-to-end.
+# ---------------------------------------------------------------------------
+KMEANS_NPROBE = 4
+
+
+def _ivf_kmeans_oracle() -> str:
+    ctes, final_c = _kmeans_ctes()
+    return f"""
+    WITH {ctes},
+    fullv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    asn AS (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid)
+                   AS rn
+        FROM base b CROSS JOIN {final_c} c
+      ) WHERE rn = 1
+    ),
+    lists AS (
+      SELECT a.vec_id, a.cell, f.embedding, f.nrm
+      FROM asn a JOIN fullv f USING (vec_id)
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT b.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid)
+                   AS rn
+        FROM base b CROSS JOIN {final_c} c
+        WHERE b.vec_id < {N_QUERIES}
+      ) WHERE rn <= {KMEANS_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id, l.cell,
+             {_dot_sql('q.embedding', 'l.embedding')} / (q.nrm * l.nrm)
+                 AS cosine
+      FROM probes p
+      JOIN lists l ON l.cell = p.cell
+      JOIN fullv q ON q.vec_id = p.query_id
+      WHERE l.vec_id <> p.query_id
     )
+    SELECT query_id, rank, neighbor_id, CAST(cell AS BIGINT) AS cell, cosine
+    FROM (
+      SELECT query_id, neighbor_id, cell, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_topk_ivf_kmeans", oracle=_ivf_kmeans_oracle())
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat search over the k-means-TRAINED coarse quantizer (vs
+    ``sim_topk_ivf``'s data-sampled stand-in): assign every vector to
+    its nearest trained centroid, probe each query's nprobe nearest
+    cells, exact-score candidates on full precision.
+
+    Plan shape: assignment and probing are MAP-ONLY (``_km_assign``'s
+    broadcast-centroid argmin; probing ranks the 8-row centroid set
+    per query), the candidate join keys on cell, and at 100 TB the
+    lists are written bucketed by cell so a probe is partition
+    pruning, not a shuffle — this query IS the read path that
+    ``sim_kmeans_assign``'s offline training job feeds."""
+    base, cents = _kmeans_train(spark, sf_dir)
+    asn = _km_assign(base, cents).select("vec_id", "cell")
+    emb = read_table(spark, sf_dir, "embeddings")
+    fullv = emb.select(
+        "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
+    )
+    lists = asn.join(fullv, "vec_id")
+    # probing: rank the K centroid distances per query (Q·K rows — a
+    # broadcast cross join of the 8 trained centroids)
+    qd2 = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(
+            F.broadcast(cents.select("cid", F.col("v").alias("cv")))
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("cell"),
+            _km_d2(F.col("v"), F.col("cv")).alias("d2"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        qd2.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= KMEANS_NPROBE)
+        .select("query_id", "cell")
+    )
+    q = fullv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            (_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "cosine",
+        )
+    )
+
 
 
 # ---------------------------------------------------------------------------

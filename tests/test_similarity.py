@@ -202,3 +202,24 @@ def test_pq_recall_vs_bruteforce(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"pq recall {recall}"
+
+
+def test_ivf_kmeans_recall_and_cell_consistency(spark):
+    """The trained-quantizer IVF must (a) return neighbors whose cell
+    matches sim_kmeans_assign's assignment, and (b) hold recall@5
+    comparable to the sampled-centroid IVF on the fixture."""
+    asn = {
+        r["vec_id"]: r["cell"]
+        for r in S.sim_kmeans_assign(spark, SF_MEDIUM).collect()
+    }
+    out = S.sim_topk_ivf_kmeans(spark, SF_MEDIUM).collect()
+    assert out
+    for r in out:
+        assert asn[r["neighbor_id"]] == r["cell"]
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.sim_topk_bruteforce(spark, SF_MEDIUM).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"ivf-kmeans recall {recall}"
