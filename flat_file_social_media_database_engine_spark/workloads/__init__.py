@@ -72,6 +72,7 @@ _VERIFY_FIRST = [
     "sim_topk_pq",
     "events_anomaly_zscore",
     "sim_topk_ivf_kmeans",
+    "sim_neardup_lsh",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a

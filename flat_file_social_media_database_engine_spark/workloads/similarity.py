@@ -194,27 +194,22 @@ def _signatures(spark: SparkSession, vecs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _lsh_topk_oracle() -> str:
-    """Full DuckDB replay of the hyperplane-LSH pipeline (round-2
-    verdict item #4 — this was the surface's one ``no_oracle`` row).
-
-    The 224×64 hyperplane matrix is deterministic source-text data
-    (seeded, rounded to 6 decimals), so it embeds as a VALUES table —
-    ``repr`` round-trips each float bit-exactly into a SQL literal.
-    Signatures, bucket-join candidates, exact re-score, and ranking
-    then mirror the Spark plan 1:1. The re-score is the shared
-    sequential-fold double dot (bit-identical across engines); the
-    signature BITS compare a dot product against zero, where numpy's
-    matmul summation order could in principle flip a sign only if
-    |dot| sits within float-summation drift of 0 (~1e-14) — gaussian
-    hyperplanes keep that probability negligible, and the driver
-    fixture is fixed, so the check is deterministic."""
+def _lsh_sig_ctes() -> str:
+    """Shared oracle CTEs replaying the hyperplane signature pass in
+    DuckDB: the 224×64 hyperplane matrix is deterministic source-text
+    data (seeded, rounded to 6 decimals), so it embeds as a VALUES
+    table — ``repr`` round-trips each float bit-exactly into a SQL
+    literal. The signature BITS compare a dot product against zero,
+    where numpy's matmul summation order could in principle flip a
+    sign only if |dot| sits within float-summation drift of 0
+    (~1e-14) — gaussian hyperplanes keep that probability negligible,
+    and the driver fixture is fixed, so the check is deterministic.
+    Used by both the LSH top-k and LSH near-dup oracles."""
     hp_rows = ", ".join(
         f"({t}, {b}, [{', '.join(repr(x) for x in h)}])"
         for t, b, h in _HYPERPLANES
     )
-    return f"""
-    WITH hp(t, b, h) AS (VALUES {hp_rows}),
+    return f"""hp(t, b, h) AS (VALUES {hp_rows}),
     base AS (
       SELECT vec_id, embedding,
              sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
@@ -227,7 +222,18 @@ def _lsh_topk_oracle() -> str:
                   AS BIGINT) AS sig
       FROM embeddings e CROSS JOIN hp
       GROUP BY e.vec_id, hp.t
-    ),
+    )"""
+
+
+def _lsh_topk_oracle() -> str:
+    """Full DuckDB replay of the hyperplane-LSH top-k pipeline
+    (round-2 verdict item #4 — this was the surface's one
+    ``no_oracle`` row). Signatures, bucket-join candidates, exact
+    re-score, and ranking mirror the Spark plan 1:1; the re-score is
+    the shared sequential-fold double dot (bit-identical across
+    engines). See ``_lsh_sig_ctes`` for signature determinism."""
+    return f"""
+    WITH {_lsh_sig_ctes()},
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
       FROM sigs q
@@ -425,6 +431,81 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
     cand = _neardup_candidates(spark, base)
+    a = base.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            (_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-dup: the documented SCALE path for the quadratic
+# sim_neardup_cosine baseline, now a first-class oracle-checked entry.
+# ---------------------------------------------------------------------------
+def _neardup_lsh_oracle() -> str:
+    return f"""
+    WITH {_lsh_sig_ctes()},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+      FROM sigs x
+      JOIN sigs y ON y.t = x.t AND y.sig = x.sig
+      WHERE x.vec_id < y.vec_id
+    )
+    SELECT c.vec_id_a, c.vec_id_b,
+           {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+    FROM cand c
+    JOIN base a ON a.vec_id = c.vec_id_a
+    JOIN base b ON b.vec_id = c.vec_id_b
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+          >= {NEARDUP_COSINE}
+    """
+
+
+@query("sim_neardup_lsh", oracle=_neardup_lsh_oracle())
+def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH buckets: candidate pairs are
+    vectors sharing a (table, signature) bucket in ANY of the 32
+    tables; survivors are re-scored with the exact sequential fold
+    and kept at cosine ≥ threshold. Same output contract as
+    ``sim_neardup_cosine`` (its emitted pairs are a SUBSET of the
+    exact baseline's — containment pinned in pytest), but candidate
+    generation is bucket-equality joins instead of all-pairs.
+
+    This is the 100 TB shape the baseline's docstring points at: the
+    signature pass is one map-only Arrow matmul, the self-join
+    shuffles (table, sig) keys only — bucket sizes are geometric in
+    the bit count, so candidates grow ~linearly with N (vs N²) — and
+    exact scoring touches only candidates. The signature table is
+    materialized once (persist DISK_ONLY + count barrier, see
+    ``plans.materialize``) so the self-join's two branches read
+    cached blocks instead of running the matmul twice."""
+    from ..plans.materialize import materialize
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
+    sigs = materialize(_signatures(spark, base, "vec_id"))
+    cand = (
+        sigs.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
+        .join(sigs.select("t", "sig", F.col("vec_id").alias("vec_id_b")), ["t", "sig"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
     a = base.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("ea"),

@@ -94,6 +94,26 @@ def test_neardup_cosine_symmetric_pairs_unique(spark):
     assert all(r["cosine"] >= S.NEARDUP_COSINE for r in rows)
 
 
+def test_neardup_lsh_contained_in_exact_with_recall(spark):
+    """The LSH near-dup path re-scores candidates with the same exact
+    fold and threshold, so its pairs must be a strict SUBSET of the
+    exact baseline's (identical cosine values on shared pairs), with
+    recall pinned so (tables, bits) drift is visible."""
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in S.sim_neardup_cosine(spark, SF_MEDIUM).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in S.sim_neardup_lsh(spark, SF_MEDIUM).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(lsh[p] == exact[p] for p in lsh)  # bit-identical re-score
+    recall = len(lsh) / len(exact)
+    # near-random fixture (worst case for ANN); measured 24/34 ≈ 0.71
+    assert recall >= 0.55, f"neardup-lsh recall {recall}"
+
+
 def test_ivf_recall_and_candidate_efficiency(spark):
     """Pin recall@5 and the scored-candidate fraction (measured 0.92
     recall at 24.5% of Q x N on the fixture) so parameter drift in
