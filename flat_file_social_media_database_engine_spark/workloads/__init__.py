@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "events_anomaly_zscore",
     "sim_topk_ivf_kmeans",
     "sim_neardup_lsh",
+    "text_bigram_lm_score",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a

@@ -658,6 +658,106 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM cohesion score: the 2-gram upgrade of the commonness
+# score's unigram LM proxy. Per doc: how often its ADJACENT token
+# pairs co-occur corpus-wide, relative to how often their prefix
+# token appears at all — sum(tf(w1,w2)) / sum(tf(w1)) over the doc's
+# bigrams. Shuffled/concatenated word soup scores low (pairs are
+# rare even when tokens are common); text copied from fluent sources
+# scores high. All sums are exact BIGINTs and the score is ONE double
+# division at the end, so the oracle hash-matches bit-for-bit (the
+# per-pair-ratio formulation would sum doubles in engine-dependent
+# order).
+#
+# Bigrams materialize as 'w1 w2' strings (tokens are whitespace-split,
+# so the space separator is unambiguous); the empty-array guard keeps
+# slice() lengths non-negative for 0/1-token docs.
+# ---------------------------------------------------------------------------
+_BIGRAMS_EXPR = (
+    "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)), "
+    "slice(toks, 2, greatest(size(toks)-1, 0)), "
+    "(a, b) -> concat(a, ' ', b))"
+)
+# DuckDB range(a, b) is end-exclusive and lists are 1-indexed:
+# range(1, greatest(len,1)) is empty for 0/1-token docs, else 1..n-1.
+_BIGRAMS_SQL = (
+    "list_transform(range(1, greatest(len(toks), 1)), "
+    "i -> toks[i] || ' ' || toks[i+1])"
+)
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM arr
+    ),
+    uni AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token
+    ),
+    big AS (
+      SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg FROM arr
+    ),
+    bgf AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS btf FROM big GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(f.btf) AS BIGINT) AS sum_bigram_tf,
+           CAST(sum(u.tf) AS BIGINT) AS sum_prefix_tf,
+           sum(f.btf) / sum(u.tf) AS bigram_cohesion
+    FROM big b
+    JOIN bgf f ON f.bg = b.bg
+    JOIN uni u ON u.token = split_part(b.bg, ' ', 1)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram cohesion vs the corpus bigram/unigram tables.
+
+    One tokenized pass is materialized spill-safe (``plans.
+    materialize``) and feeds all three derivations: the unigram
+    dictionary, the bigram dictionary, and the per-doc bigram stream.
+    Both dictionaries broadcast (vocab and bigram-vocab grow
+    sub-linearly in corpus size; if the bigram table ever outgrows
+    executors, its join key is already the natural shuffle key).
+    Docs with <2 tokens have no bigrams and drop out (inner-join
+    semantics, mirrored by the oracle)."""
+    from ..plans.materialize import materialize
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    arr = materialize(docs.select("doc_id", _tokens().alias("toks")))
+    tok = arr.select("doc_id", F.explode("toks").alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    big = arr.select("doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+    bgf = big.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("btf"))
+    return (
+        big.join(F.broadcast(bgf), "bg")
+        .join(F.broadcast(uni), F.split(F.col("bg"), " ")[0] == F.col("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("btf").cast("bigint").alias("sum_bigram_tf"),
+            F.sum("tf").cast("bigint").alias("sum_prefix_tf"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bigram_tf",
+            "sum_prefix_tf",
+            (F.col("sum_bigram_tf") / F.col("sum_prefix_tf")).alias(
+                "bigram_cohesion"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end training-mix build: the four pipeline stages a real
 # 100 TB data build chains — quality filter, exact dedup (keep-first),
 # deterministic per-source downsampling, and sequence budgeting —

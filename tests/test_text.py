@@ -64,3 +64,30 @@ def test_langid_prefers_marker_majority(spark, tmp_path):
     out = {r["doc_id"]: r["pred_lang"] for r in T.text_langid(spark, str(tmp_path)).collect()}
     assert out[1] == "en"
     assert out[2] == "es"
+
+
+def test_bigram_lm_score_hand_checked(spark, tmp_path):
+    """Corpus: unigram tf a=3 b=3 c=1 x=1; bigram tf 'a b'=3,
+    'b a'=1, 'b c'=1. Cohesion is sum(btf)/sum(prefix tf) — one
+    division of exact integer sums. Single-token docs drop out."""
+    rows = [
+        (1, "a b a b", "en", "s", 7),
+        (2, "a b c", "en", "s", 5),
+        (3, "x", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in T.text_bigram_lm_score(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 has no bigrams
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_bigram_tf"] == 3 + 1 + 3
+    assert out[1]["sum_prefix_tf"] == 3 + 3 + 3
+    assert out[1]["bigram_cohesion"] == 7 / 9
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["sum_bigram_tf"] == 3 + 1
+    assert out[2]["sum_prefix_tf"] == 3 + 3
+    assert out[2]["bigram_cohesion"] == 4 / 6
