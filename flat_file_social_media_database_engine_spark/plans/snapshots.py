@@ -27,7 +27,8 @@ import json
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -149,11 +150,89 @@ class SnapshotStore:
             partition_by={name: partition_by} if partition_by else None,
         )
 
+    def delete_where(self, name: str, condition: Column | str) -> int:
+        """File-level copy-on-write DELETE: rows where ``condition`` is
+        TRUE are removed; rows where it is FALSE **or NULL** are kept
+        (SQL DELETE semantics — a NULL predicate never deletes).
+
+        Scale shape (the Delta/Iceberg rewrite-only-affected-files
+        protocol, directory-granular here because a directory is this
+        store's add-files unit): each manifest entry is first PROBED
+        for any matching row — a scan parquet min/max pushdown can
+        often answer without reading data — and only entries that
+        contain matches are rewritten, into one fresh directory;
+        untouched entries carry forward by reference. The per-entry
+        driver loop is metadata-scale (manifest entries are bounded by
+        ``compact``), never data-scale. A delete that matches nothing
+        is a no-op and does not burn a version."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        touched, kept = [], []
+        for p in self.tables()[name]:
+            probe = self.spark.read.parquet(p).filter(cond).limit(1).count()
+            (touched if probe else kept).append(p)
+        if not touched:
+            return self.current_version()
+        survivors = (
+            self.spark.read.option("mergeSchema", True)
+            .parquet(*touched)
+            .filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+        )
+        return self._publish({name: survivors}, append=False, carry={name: kept})
+
+    def merge_upsert(
+        self, name: str, updates: DataFrame, key_cols: list[str]
+    ) -> int:
+        """Copy-on-write MERGE (upsert): rows of ``updates`` replace
+        existing rows with equal ``key_cols``; unmatched update rows
+        insert. Caller guarantees ``updates`` has at most one row per
+        key (all update rows land, so in-batch duplicates would both
+        survive).
+
+        Scale shape: one key-projected scan over the table, tagged by
+        manifest entry, semi-joined against the (broadcast,
+        batch-sized) update keys to find which entries actually hold
+        matched keys — the collected result is DIRECTORY NAMES
+        (metadata-scale, Delta-style file planning), never rows. Only
+        matched entries rewrite (their unmatched rows + the whole
+        update batch, schema-evolved by name); untouched entries carry
+        forward by reference. A pure-insert merge degenerates to
+        ``append``'s O(batch) shape."""
+        import functools
+
+        paths = self.tables()[name]
+        upd_keys = updates.select(*key_cols).distinct()
+        tagged = functools.reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(p)
+                .select(*key_cols)
+                .withColumn("_dir", F.lit(p))
+                for p in paths
+            ],
+        )
+        touched = {
+            r["_dir"]
+            for r in tagged.join(F.broadcast(upd_keys), key_cols)
+            .select("_dir")
+            .distinct()
+            .collect()
+        }
+        kept = [p for p in paths if p not in touched]
+        if touched:
+            base = self.spark.read.option("mergeSchema", True).parquet(*touched)
+            merged = base.join(
+                F.broadcast(upd_keys), key_cols, "left_anti"
+            ).unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = updates
+        return self._publish({name: merged}, append=False, carry={name: kept})
+
     def _publish(
         self,
         changed: dict[str, DataFrame],
         append: bool,
         partition_by: dict[str, list[str]] | None = None,
+        carry: dict[str, list[str]] | None = None,
     ) -> int:
         old_tables = self.tables()
         version = self.current_version() + 1
@@ -169,6 +248,11 @@ class SnapshotStore:
             writer.parquet(path)
             if append and name in new_tables:
                 new_tables[name] = new_tables[name] + [path]
+            elif carry is not None and name in carry:
+                # partial rewrite (delete_where / merge_upsert):
+                # untouched directories carry forward by reference
+                # ahead of the freshly rewritten one.
+                new_tables[name] = list(carry[name]) + [path]
             else:
                 new_tables[name] = [path]
 

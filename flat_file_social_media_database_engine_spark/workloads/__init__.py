@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "sim_topk_ivf_kmeans",
     "sim_neardup_lsh",
     "text_bigram_lm_score",
+    "m4_delete_upsert",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a

@@ -410,6 +410,75 @@ def m3_rekey_cascade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M4 — snapshot DELETE + MERGE (beyond the reference's mutation
+# surface, completing the lakehouse CRUD set alongside S4/S5/M1-M3):
+# file-level copy-on-write delete_where, then a merge_upsert whose
+# update batch deterministically rewrites every 97th order and whose
+# insert rows use sentinel negative keys. Update keys that the delete
+# removed RE-insert (MERGE semantics); the oracle replays
+# delete → anti-join → union in plain SQL. Partial-rewrite carry
+# behavior (untouched manifest entries by reference) is pinned in
+# tests/test_durability.py.
+# ---------------------------------------------------------------------------
+@query(
+    "m4_delete_upsert",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000)
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice + 10 AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    ins(o_orderkey, o_custkey, o_orderstatus, o_totalprice) AS (
+      VALUES (CAST(-1 AS BIGINT), CAST(1 AS BIGINT), 'N',
+              CAST(1000.5 AS DOUBLE)),
+             (CAST(-2 AS BIGINT), CAST(2 AS BIGINT), 'N',
+              CAST(2000.5 AS DOUBLE))
+    )
+    SELECT * FROM (
+      SELECT k.* FROM kept k
+      WHERE k.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    """,
+)
+def m4_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.snapshots import SnapshotStore
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="snap_m4_"))
+    # two manifest entries so the delete/merge exercise partial rewrite
+    store.commit({"orders": orders.filter(F.col("o_orderkey") % 2 == 0)})
+    store.append({"orders": orders.filter(F.col("o_orderkey") % 2 == 1)})
+    store.delete_where(
+        "orders",
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 10).alias("o_totalprice"),
+    )
+    ins = spark.createDataFrame(
+        [(-1, 1, "N", 1000.5), (-2, 2, "N", 2000.5)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    )
+    store.merge_upsert("orders", upd.unionByName(ins), ["o_orderkey"])
+    return store.read("orders")
+
+
+# ---------------------------------------------------------------------------
 # P6/P7 — exact 6-char-class trim + strict cast-or-drop, driver-checked
 # (reference trim buzzdb_lab1.cpp:131-141, to_int :144-154; pytest
 # covers the CSV loader path, this twin runs the SAME rules through

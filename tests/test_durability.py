@@ -197,3 +197,79 @@ def test_append_with_added_column_schema_evolution(store, spark):
     assert len(store.tables()["u"]) == 1
     after = {r["id"]: r["tag"] for r in store.read("u").collect()}
     assert after[1] is None and after[6] == "tag6"
+
+
+def test_delete_where_rewrites_only_touched_entries(store, spark):
+    """Three append batches; the delete predicate matches rows in only
+    one. Untouched directories must carry forward BY REFERENCE (same
+    paths in the new manifest), deleted rows vanish, NULL-predicate
+    rows survive (SQL DELETE semantics), and time travel still sees
+    the pre-delete state."""
+    store.append({"t": spark.createDataFrame([(3, "c"), (4, None)], "id int, v string")})
+    store.append({"t": spark.createDataFrame([(5, "e")], "id int, v string")})
+    before = store.current_version()
+    paths_before = store.tables()["t"]
+    assert len(paths_before) == 3
+
+    # 'v = c' is TRUE for id=3, NULL for id=4 (NULL never deletes),
+    # FALSE elsewhere — only the middle batch directory is touched.
+    from pyspark.sql import functions as F
+
+    v = store.delete_where("t", F.col("v") == "c")
+    assert v == before + 1
+    paths_after = store.tables()["t"]
+    untouched = [p for p in paths_before if p in paths_after]
+    assert len(untouched) == 2  # batches 1 and 3 carried by reference
+    rows = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert rows == {1: "a", 2: "b", 4: None, 5: "e"}
+    # time travel: pre-delete version still shows id=3
+    old = {r["id"] for r in store.read("t", version=before).collect()}
+    assert old == {1, 2, 3, 4, 5}
+
+
+def test_delete_where_no_match_is_a_noop(store):
+    before = store.current_version()
+    assert store.delete_where("t", "id = 999") == before
+    assert store.current_version() == before
+
+
+def test_merge_upsert_updates_inserts_and_carries_untouched(store, spark):
+    """Batch 2 holds ids 3,4; the merge updates id=3 and inserts id=9.
+    Batch 1 (ids 1,2) holds no matched key, so its directory must
+    carry by reference; the rewrite holds batch 2's unmatched row,
+    the updated row, and the insert."""
+    store.append({"t": spark.createDataFrame([(3, "c"), (4, "d")], "id int, v string")})
+    paths_before = store.tables()["t"]
+    before = store.current_version()
+
+    upd = spark.createDataFrame([(3, "C!"), (9, "i")], "id int, v string")
+    v = store.merge_upsert("t", upd, ["id"])
+    assert v == before + 1
+    paths_after = store.tables()["t"]
+    assert paths_before[0] in paths_after  # batch 1 untouched
+    assert paths_before[1] not in paths_after  # batch 2 rewritten
+    rows = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert rows == {1: "a", 2: "b", 3: "C!", 4: "d", 9: "i"}
+    # time travel: pre-merge version unchanged
+    old = {r["id"]: r["v"] for r in store.read("t", version=before).collect()}
+    assert old[3] == "c" and 9 not in old
+
+
+def test_merge_upsert_pure_insert_carries_everything(store, spark):
+    paths_before = store.tables()["t"]
+    upd = spark.createDataFrame([(7, "g")], "id int, v string")
+    store.merge_upsert("t", upd, ["id"])
+    paths_after = store.tables()["t"]
+    assert all(p in paths_after for p in paths_before)  # nothing rewritten
+    assert len(paths_after) == len(paths_before) + 1
+    assert {r["id"] for r in store.read("t").collect()} == {1, 2, 7}
+
+
+def test_merge_upsert_schema_evolution_by_name(store, spark):
+    """An update batch with an added column merges by name: old rows
+    read back with the new column NULL, via the store's mergeSchema
+    union read."""
+    upd = spark.createDataFrame([(2, "B!", 10)], "id int, v string, w int")
+    store.merge_upsert("t", upd, ["id"])
+    rows = {r["id"]: (r["v"], r["w"]) for r in store.read("t").collect()}
+    assert rows == {1: ("a", None), 2: ("B!", 10)}
