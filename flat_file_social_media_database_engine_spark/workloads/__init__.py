@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "sim_neardup_lsh",
     "text_bigram_lm_score",
     "m4_delete_upsert",
+    "events_dedup_redelivery",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a

@@ -671,3 +671,61 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z) >= ANOMALY_Z)
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# At-least-once redelivery reconciliation — the batch twin of
+# streaming/events.py::deduped_stream (dropDuplicatesWithinWatermark).
+# The fixture's event_ids are unique, so redeliveries are synthesized
+# deterministically (the p6 dirty-data pattern): every 10th event is
+# re-sent 5s late, and every 20th instead arrives 3s EARLY
+# (out-of-order), so keep-earliest must sometimes prefer the
+# redelivered copy — a pass-through would fail the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dedup_redelivery",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+    ),
+    redelivered AS (
+      SELECT event_id,
+             CASE WHEN event_id % 20 = 0 THEN ts - INTERVAL 3 SECOND
+                  ELSE ts + INTERVAL 5 SECOND END AS ts,
+             user_id, event_type, value
+      FROM base WHERE event_id % 10 = 0
+    ),
+    delivered AS (
+      SELECT * FROM base UNION ALL SELECT * FROM redelivered
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+      FROM delivered
+    )
+    SELECT event_id, ts, user_id, event_type, value FROM r WHERE rn = 1
+    """,
+)
+def events_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once reconciliation of an at-least-once feed: per
+    event_id keep the EARLIEST delivery. One window over the
+    event_id-shuffled union — the same single-shuffle shape whether
+    duplicates are synthetic (here) or real; at 100 TB the window
+    carries one row of state per in-flight key, which is what the
+    streaming twin bounds with its watermark instead."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    red = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 20 == 0,
+            F.col("ts") - F.expr("INTERVAL 3 SECONDS"),
+        ).otherwise(F.col("ts") + F.expr("INTERVAL 5 SECONDS")),
+    )
+    delivered = ev.unionByName(red)
+    w = Window.partitionBy("event_id").orderBy("ts")
+    return (
+        delivered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
