@@ -107,6 +107,14 @@ _STABLE_TAIL = [
     # a3's exact count-distinct shape is exercised in-window by
     # dedup_source_stats (countDistinct per group)
     "a3_distinct_counts",
+    # rotated out for the round-3 additions that grew the head past
+    # slot 50 (sim_neardup_lsh, text_bigram_lm_score, m4, redelivery):
+    # all three r2-green, unchanged r3; ivf's plan shape is in-window
+    # via sim_topk_ivf_kmeans, the rollup via events_anomaly_zscore's
+    # hourly CTE, json_extract via bench
+    "sim_topk_ivf",
+    "events_json_extract",
+    "events_hourly_rollup",
 ]
 
 
