@@ -215,3 +215,54 @@ def enrich_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
     )
     return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def attribution_join_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-STREAM interval self-join — the streaming twin of
+    ``events_range_attribution``'s inner core: every (purchase, click)
+    pair of the same user with the click inside the purchase's
+    trailing hour. Completes the streaming operator matrix (windowed
+    aggs, session windows, stateful clamp, dedup, stream-static
+    enrich, and now stream-stream).
+
+    Both sides carry a watermark and the join condition bounds
+    click_ts to a finite interval around purchase_ts, so Spark can
+    compute how long each side's state must be retained and evict
+    rows as the watermark passes — bounded state at any volume.
+    Inner-join matches emit as found (append mode; only OUTER
+    stream-stream joins hold rows back until the watermark seals
+    them). Batch equivalence is pinned in tests/test_streaming.py."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )

@@ -389,3 +389,58 @@ def test_enrich_stream_matches_batch_join(spark):
     }
     assert got == want
     assert len(got) == BE.read_table(spark, SF, "events").count()
+
+
+def test_attribution_join_stream_matches_batch_pairs(spark):
+    """Stream-stream interval join emits exactly the batch inner-join
+    pair set (inner matches emit as found; watermarks only bound
+    state retention)."""
+    from pyspark.sql import functions as F
+
+    stream = SE.read_events_stream(spark, SF)
+    joined = SE.attribution_join_stream(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_attr_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_attr_join").collect()}
+
+    from flat_file_social_media_database_engine_spark.sources.catalog import read_table
+
+    ev = read_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    want = {
+        tuple(r)
+        for r in p.join(
+            c,
+            (F.col("p_user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            "purchase_id",
+            F.col("p_user_id").alias("user_id"),
+            "purchase_ts",
+            "click_ts",
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
