@@ -11,7 +11,7 @@ column (like ``type ∈ {like,comment}``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.mutations import apply_view_deltas, rekey_cascade, validated_append
@@ -296,6 +296,57 @@ def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 — the ANSI window-function surface in one driver-checked pass
+# (beyond the reference's global sort, which is O1): per-customer
+# rank, lag/lead neighbors, quartile bucket, and percent_rank over
+# orders. Every window orders by (o_totalprice DESC, o_orderkey) —
+# the unique-key tie-break makes all five functions deterministic, so
+# the whole suite value-hashes bit-for-bit (percent_rank is
+# (rank-1)/(n-1): exact integer inputs, one IEEE division).
+# One shuffle on o_custkey serves all functions (same window spec);
+# limited to 3 rows/customer to keep the driver payload small.
+# ---------------------------------------------------------------------------
+@query(
+    "o3_window_suite",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER win AS rn,
+             lag(o_orderkey) OVER win AS prev_orderkey,
+             lead(o_orderkey) OVER win AS next_orderkey,
+             ntile(4) OVER win AS quartile,
+             percent_rank() OVER win AS pct_rank
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rn AS BIGINT) AS rn, prev_orderkey, next_orderkey,
+           CAST(quartile AS BIGINT) AS quartile, pct_rank
+    FROM w WHERE rn <= 3
+    """,
+)
+def o3_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(win).cast("bigint").alias("rn"),
+            F.lag("o_orderkey").over(win).alias("prev_orderkey"),
+            F.lead("o_orderkey").over(win).alias("next_orderkey"),
+            F.ntile(4).over(win).cast("bigint").alias("quartile"),
+            F.percent_rank().over(win).alias("pct_rank"),
+        )
+        .filter(F.col("rn") <= 3)
     )
 
 
