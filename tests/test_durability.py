@@ -273,3 +273,52 @@ def test_merge_upsert_schema_evolution_by_name(store, spark):
     store.merge_upsert("t", upd, ["id"])
     rows = {r["id"]: (r["v"], r["w"]) for r in store.read("t").collect()}
     assert rows == {1: ("a", None), 2: ("B!", 10)}
+
+
+# ---------------------------------------------------------------------------
+# Property: a random append/delete/upsert sequence matches a plain
+# dict model, and EVERY historical version stays readable with its
+# own as-of state (the time-travel contract under mixed CRUD).
+# ---------------------------------------------------------------------------
+def test_crud_sequence_matches_model_and_history(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xC4D5)
+    s = SnapshotStore(spark, str(tmp_path / "crud"))
+    s.commit(
+        {"t": spark.createDataFrame([(i, i * 10) for i in range(8)], "id int, v int")}
+    )
+    model: dict[int, int] = {i: i * 10 for i in range(8)}
+    history = [dict(model)]  # index = version - 1
+
+    next_id = 100
+    for _ in range(12):
+        op = rng.choice(["append", "delete", "upsert"])
+        before = s.current_version()
+        if op == "append":
+            rows = [(next_id + k, rng.randrange(1000)) for k in range(rng.randint(1, 3))]
+            next_id += 3
+            s.append({"t": spark.createDataFrame(rows, "id int, v int")})
+            model.update(dict(rows))
+        elif op == "delete":
+            cut = rng.randrange(0, 1000)
+            changed = s.delete_where("t", F.col("v") < cut)
+            model = {k: v for k, v in model.items() if not (v < cut)}
+            if changed == before:
+                continue  # no-op delete burns no version
+        else:
+            keys = rng.sample(sorted(model), min(2, len(model))) + [next_id]
+            next_id += 1
+            rows = [(k, rng.randrange(1000)) for k in keys]
+            s.merge_upsert("t", spark.createDataFrame(rows, "id int, v int"), ["id"])
+            model.update(dict(rows))
+        history.append(dict(model))
+        got = {r["id"]: r["v"] for r in s.read("t").collect()}
+        assert got == model
+
+    # every committed version replays its exact as-of state
+    for ver, want in enumerate(history, start=1):
+        got = {r["id"]: r["v"] for r in s.read("t", version=ver).collect()}
+        assert got == want, f"version {ver}"
