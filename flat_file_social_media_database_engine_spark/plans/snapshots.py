@@ -157,19 +157,31 @@ class SnapshotStore:
 
         Scale shape (the Delta/Iceberg rewrite-only-affected-files
         protocol, directory-granular here because a directory is this
-        store's add-files unit): each manifest entry is first PROBED
-        for any matching row — a scan parquet min/max pushdown can
-        often answer without reading data — and only entries that
-        contain matches are rewritten, into one fresh directory;
-        untouched entries carry forward by reference. The per-entry
-        driver loop is metadata-scale (manifest entries are bounded by
-        ``compact``), never data-scale. A delete that matches nothing
-        is a no-op and does not burn a version."""
+        store's add-files unit): ONE planning job scans every entry
+        with the predicate pushed down (parquet min/max stats can
+        skip whole files) and collects the DIRECTORY NAMES that hold
+        matches — metadata-scale, like ``merge_upsert``'s planning —
+        then only those entries rewrite into one fresh directory;
+        untouched entries carry forward by reference. The predicate
+        must reference columns present in every entry (delete after
+        ``compact`` if schema evolution split them). A delete that
+        matches nothing is a no-op and does not burn a version."""
+        import functools
+
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        touched, kept = [], []
-        for p in self.tables()[name]:
-            probe = self.spark.read.parquet(p).filter(cond).limit(1).count()
-            (touched if probe else kept).append(p)
+        paths = self.tables()[name]
+        planned = functools.reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(p)
+                .filter(cond)
+                .select(F.lit(p).alias("_dir"))
+                for p in paths
+            ],
+        )
+        matched = {r["_dir"] for r in planned.distinct().collect()}
+        touched = [p for p in paths if p in matched]
+        kept = [p for p in paths if p not in matched]
         if not touched:
             return self.current_version()
         survivors = (
