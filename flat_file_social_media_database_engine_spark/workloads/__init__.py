@@ -77,6 +77,8 @@ _VERIFY_FIRST = [
     "m4_delete_upsert",
     "events_dedup_redelivery",
     "o3_window_suite",
+    "a2_orders_cube",
+    "sample_train_split",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -120,6 +122,12 @@ _STABLE_TAIL = [
     # planted vectors in pytest and its recall contract is exercised
     # in-window by every ANN entry that measures against it
     "sim_topk_bruteforce",
+    # r2-green, unchanged r3, rotated for a2_orders_cube /
+    # sample_train_split: the group-by-count shape is in-window via
+    # the rollup/cube twins, the RI semi-join via j2_chained (and m2's
+    # J6 probe), both in-window
+    "a2_orders_per_customer",
+    "s3_ri_filter_orders",
 ]
 
 

@@ -226,3 +226,31 @@ def a2_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "o_orderstatus", "n_orders", "gid")
     )
+
+
+@query(
+    "a2_orders_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def a2_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the grouping-sets surface next to ROLLUP: all
+    four aggregation levels (detail, each single-dimension margin,
+    grand total) from one scan and one shuffle — the cross-tab a
+    reporting layer otherwise builds with 4 separate scans. Same
+    ``gid`` disambiguation as the rollup twin."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "n_orders", "gid")
+    )

@@ -658,6 +658,68 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/val/test split: the holdout-assignment op every
+# training-data build runs LAST. Assignment is a salted 60-bit md5 of
+# the doc_id taken mod 100 (98/1/1), so it is (a) independent of the
+# sampling ops' salts, (b) rerun- and backfill-stable — a doc keeps
+# its split forever, new docs land without reshuffling old ones —
+# and (c) map-only per doc. The report aggregates per (source,
+# split): at 100 TB the split column is written with the shard and
+# the report is this same one-shuffle group-by.
+# ---------------------------------------------------------------------------
+_SPLIT_SALT = "split-v1"  # decorrelated from mix-v1 / trainmix-v1
+
+
+@query(
+    "sample_train_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, n_chars,
+             CAST(('0x' || substr(md5('{_SPLIT_SALT}-' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket = 98 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(_SPLIT_SALT + "-"), F.col("doc_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = h % 100
+    split = (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket == 98, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM cohesion score: the 2-gram upgrade of the commonness
 # score's unigram LM proxy. Per doc: how often its ADJACENT token
 # pairs co-occur corpus-wide, relative to how often their prefix
