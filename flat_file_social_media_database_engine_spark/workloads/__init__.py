@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "o3_window_suite",
     "a2_orders_cube",
     "sample_train_split",
+    "m5_snapshot_diff",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -128,6 +129,9 @@ _STABLE_TAIL = [
     # J6 probe), both in-window
     "a2_orders_per_customer",
     "s3_ri_filter_orders",
+    # r2-green, unchanged since r1; its sketch scale-twin
+    # a5_approx_median carries the A5 contract in rotation
+    "a5_median_totalprice",
 ]
 
 

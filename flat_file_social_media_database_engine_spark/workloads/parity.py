@@ -530,6 +530,96 @@ def m4_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M5 — snapshot table-diff: reconcile two committed versions of the
+# same table into (added / removed / changed) rows — the audit query
+# a versioned store owes its operators, and the one FULL OUTER join
+# in the surface. v2 is derived deterministically from v1 (delete
+# F-status > 300k, bump every 101st totalprice, insert two sentinel
+# keys) via the same CRUD primitives m4 exercises; the diff then
+# full-outer joins v1↔v2 on the key and classifies by presence and
+# value inequality. Unchanged rows are excluded (at 100 TB the diff
+# output is change-sized, not table-sized; the join itself is one
+# key shuffle, prunable further with partition-aligned versions).
+# ---------------------------------------------------------------------------
+@query(
+    "m5_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 300000)
+      UNION ALL
+      SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(10.5 AS DOUBLE)),
+                            (CAST(-2 AS BIGINT), CAST(20.5 AS DOUBLE)))
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           v1.o_totalprice AS old_totalprice,
+           v2.o_totalprice AS new_totalprice,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def m5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.snapshots import SnapshotStore
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="snap_m5_"))
+    v1 = store.commit({"orders": orders})
+    store.delete_where(
+        "orders",
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000),
+    )
+    upd = (
+        store.read("orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.5)
+    )
+    ins = spark.createDataFrame(
+        [(-1, "N", 10.5), (-2, "N", 20.5)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    v2 = store.merge_upsert(
+        "orders", upd.unionByName(ins), ["o_orderkey"]
+    )
+
+    old = store.read("orders", version=v1).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("old_totalprice"),
+    )
+    new = store.read("orders", version=v2).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("new_totalprice"),
+    )
+    joined = old.join(new, old.k1 == new.k2, "full_outer")
+    return joined.filter(
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("old_totalprice") != F.col("new_totalprice"))
+    ).select(
+        F.coalesce("k1", "k2").alias("o_orderkey"),
+        "old_totalprice",
+        "new_totalprice",
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P6/P7 — exact 6-char-class trim + strict cast-or-drop, driver-checked
 # (reference trim buzzdb_lab1.cpp:131-141, to_int :144-154; pytest
 # covers the CSV loader path, this twin runs the SAME rules through
