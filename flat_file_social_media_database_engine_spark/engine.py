@@ -12,6 +12,7 @@ pointer-swap publishing make readers isolated by construction
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.mutations import apply_view_deltas, rename_user, validated_append
 from .operators.queries import get_all_user_comments, get_engagements_by_location
@@ -118,6 +119,40 @@ class Engine:
             new_username,
         )
         self.tables.update(users=u, posts=p, engagements=e)
+        self._commit(["users", "posts", "engagements"], persist)
+
+    def delete_user(self, user_id: int, persist: bool = True) -> None:
+        """Cascade user deletion — the inverse of M3's rename cascade
+        and the one mutation a social-media engine owes its users
+        that the reference never had (its six-method API,
+        buzzdb_lab1.cpp:90-969, has no delete): remove the user row,
+        every post they authored, and every engagement referencing
+        either the user directly (username FK) or any of their posts
+        (postId FK), committed as ONE multi-table snapshot so readers
+        never observe a partially-deleted user. Deleting an unknown
+        id is a clean no-op on all three tables.
+
+        Plan shape: the victim usernames and doomed post ids are
+        single-row/small broadcast sides of semi/anti joins — the
+        fact tables are each scanned once and never shuffled."""
+        users = self.tables["users"]
+        posts = self.tables["posts"]
+        eng = self.tables["engagements"]
+        victim = users.filter(F.col("id") == user_id).select("username")
+        doomed_posts = posts.join(
+            F.broadcast(victim), "username", "left_semi"
+        ).select(F.col("id").alias("postId"))
+        self.tables.update(
+            users=users.filter(F.col("id") != user_id),
+            # joins with on="col" hoist the key to column 0 — restore
+            # the reference column order (export_csv is positional)
+            posts=posts.join(
+                F.broadcast(victim), "username", "left_anti"
+            ).select(*posts.columns),
+            engagements=eng.join(F.broadcast(victim), "username", "left_anti")
+            .join(F.broadcast(doomed_posts), "postId", "left_anti")
+            .select(*eng.columns),
+        )
         self._commit(["users", "posts", "engagements"], persist)
 
     def _commit(self, changed: list[str], persist: bool) -> None:

@@ -184,3 +184,42 @@ def test_snapshot_isolation(engine):
     assert after_reader == before  # old snapshot unchanged
     new = {r["id"]: r["views"] for r in engine.tables["posts"].collect()}
     assert new[10] == before[10] + 7
+
+
+def test_delete_user_cascades_all_three_tables(engine, spark):
+    """Deleting alice removes her user row, posts 10+12, and every
+    engagement on those posts OR authored by her — in one snapshot
+    commit that survives a restart; remaining rows and RI invariants
+    are untouched."""
+    engine.delete_user(1)
+
+    assert [r["username"] for r in engine.tables["users"].collect()] == [
+        "bob", "carol", "dave",
+    ]
+    assert {r["id"] for r in engine.tables["posts"].collect()} == {11}
+    # gone: 100-102? -> on posts 10/12 or by alice; kept: those on post 11
+    kept = {r["id"] for r in engine.tables["engagements"].collect()}
+    assert all(
+        r["postId"] == 11 and r["username"] != "alice"
+        for r in engine.tables["engagements"].collect()
+    )
+    assert engine.ri_report().filter("dangling_count > 0").count() == 0
+
+    # restart path: the cascade was one multi-table commit
+    e2 = Engine(spark, store_root=engine.store.root)
+    e2.load_snapshot()
+    assert {r["id"] for r in e2.tables["posts"].collect()} == {11}
+    assert {r["id"] for r in e2.tables["engagements"].collect()} == kept
+
+
+def test_delete_unknown_user_is_noop(engine):
+    before = {
+        n: sorted(map(tuple, engine.tables[n].collect()))
+        for n in ("users", "posts", "engagements")
+    }
+    engine.delete_user(999)
+    after = {
+        n: sorted(map(tuple, engine.tables[n].collect()))
+        for n in ("users", "posts", "engagements")
+    }
+    assert before == after
