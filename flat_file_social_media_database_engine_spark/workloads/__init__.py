@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "a2_orders_cube",
     "sample_train_split",
     "m5_snapshot_diff",
+    "sim_topk_lsh_multiprobe",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -132,6 +133,9 @@ _STABLE_TAIL = [
     # r2-green, unchanged since r1; its sketch scale-twin
     # a5_approx_median carries the A5 contract in rotation
     "a5_median_totalprice",
+    # r2-green, unchanged; Q1's J3 point equi-join shape is in-window
+    # via q2 and covered by the engine suite's reference golden tests
+    "q1_user_events",
 ]
 
 

@@ -311,6 +311,161 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe LSH (Lv et al., "Multi-Probe LSH: Efficient Indexing for
+# High-Dimensional Similarity Search", VLDB 2007): besides the query's
+# own bucket, probe the buckets reached by flipping its LOWEST-MARGIN
+# signature bits — the bits whose hyperplane dot product sits closest
+# to zero are the likeliest to differ for true neighbors. Raises
+# recall at fixed table count (more probes ≪ more tables in memory).
+# ---------------------------------------------------------------------------
+MULTIPROBE_FLIPS = 2  # probe sig0 plus each of the 2 lowest-|dot| flips
+
+
+def _multiprobe_oracle() -> str:
+    return f"""
+    WITH {_lsh_sig_ctes()},
+    qd AS (
+      SELECT e.vec_id AS query_id, hp.t, hp.b,
+             {_dot_sql('e.embedding', 'hp.h')} AS d
+      FROM embeddings e CROSS JOIN hp
+      WHERE e.vec_id < {N_QUERIES}
+    ),
+    q0 AS (
+      SELECT query_id, t,
+             CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS sig0
+      FROM qd GROUP BY query_id, t
+    ),
+    fl AS (
+      SELECT query_id, t, b,
+             row_number() OVER (PARTITION BY query_id, t
+                                ORDER BY abs(d), b) AS mr
+      FROM qd
+    ),
+    probes AS (
+      SELECT query_id, t, sig0 AS sig FROM q0
+      UNION
+      SELECT f.query_id, f.t,
+             CAST(xor(q0.sig0, CAST(1 AS BIGINT) << f.b) AS BIGINT) AS sig
+      FROM fl f
+      JOIN q0 ON q0.query_id = f.query_id AND q0.t = f.t
+      WHERE f.mr <= {MULTIPROBE_FLIPS}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+      FROM probes p
+      JOIN sigs s ON s.t = p.t AND s.sig = p.sig
+      WHERE s.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+      FROM cand c
+      JOIN base q ON q.vec_id = c.query_id
+      JOIN base n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_topk_lsh_multiprobe", oracle=_multiprobe_oracle())
+def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k with multi-probe bucket expansion: per (query,
+    table), probe the base signature AND each signature reached by
+    flipping one of the ``MULTIPROBE_FLIPS`` lowest-|margin| bits
+    (margin = the bit's hyperplane dot product; ranked with a bit
+    tie-break so the probe set is deterministic). Candidates from any
+    probed bucket are exactly re-scored — recall ≥ the single-probe
+    entry by construction (its buckets are a subset), pinned in
+    pytest.
+
+    At 100 TB the probe expansion touches only the Q query rows
+    (Q × T × (1+flips) probe keys — data-free arithmetic off the
+    already-computed dots); the base table still computes exactly one
+    signature per vector per table via the map-only Arrow pass, and
+    the bucket join stays a (table, sig) key join with ~(1+flips)×
+    the single-probe candidate volume."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
+    sigs = _signatures(spark, base, "vec_id")
+
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    hp = spark.createDataFrame(
+        [(t, b, h) for t, b, h in _HYPERPLANES], "t int, b int, h array<double>"
+    )
+    dots = (
+        q.select("query_id", "qe")
+        .crossJoin(F.broadcast(hp))
+        .select("query_id", "t", "b", _dot("qe", "h").alias("d"))
+    )
+    w = Window.partitionBy("query_id", "t").orderBy(F.abs(F.col("d")), "b")
+    ranked = dots.withColumn("mr", F.row_number().over(w))
+    sig0 = ranked.groupBy("query_id", "t").agg(
+        F.sum(
+            F.when(
+                F.col("d") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("sig0")
+    )
+    flips = (
+        ranked.filter(F.col("mr") <= MULTIPROBE_FLIPS)
+        .join(sig0, ["query_id", "t"])
+        .select(
+            "query_id",
+            "t",
+            F.expr("CAST(sig0 ^ shiftleft(CAST(1 AS BIGINT), b) AS BIGINT)").alias(
+                "sig"
+            ),
+        )
+    )
+    probes = (
+        sig0.select("query_id", "t", F.col("sig0").alias("sig"))
+        .unionByName(flips)
+        .distinct()
+    )
+
+    cand = (
+        probes.join(sigs, ["t", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    nb = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qe", "ne") / (F.col("qn") * F.col("nn"))).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (dedup tier's embedding leg).
 # ---------------------------------------------------------------------------
 _NEARDUP_ROWS_PER_BLOCK = 2000  # packed-row budget: ~2000 × 64 doubles

@@ -243,3 +243,18 @@ def test_ivf_kmeans_recall_and_cell_consistency(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in out}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"ivf-kmeans recall {recall}"
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe's buckets are a strict superset of single-probe's
+    (sig0 is always probed), so its candidate set — and with exact
+    re-scoring, its recall — can only match or improve."""
+    bf = S.sim_topk_bruteforce(spark, SF_MEDIUM).collect()
+    single = S.sim_topk_lsh(spark, SF_MEDIUM).collect()
+    multi = S.sim_topk_lsh_multiprobe(spark, SF_MEDIUM).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    r_single = len(truth & {(r["query_id"], r["neighbor_id"]) for r in single}) / len(truth)
+    r_multi = len(truth & {(r["query_id"], r["neighbor_id"]) for r in multi}) / len(truth)
+    assert r_multi >= r_single, (r_multi, r_single)
+    # measured: 0.68 single vs higher with 2 extra probes/table
+    assert r_multi >= 0.70, r_multi
