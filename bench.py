@@ -41,6 +41,7 @@ HEADLINE = [
     "sim_topk_ivf",
     "sim_topk_pq",  # r3: int8-quantized scan + exact re-score
     "sim_kmeans_assign",  # r3: 2-round Lloyd's + assignment
+    "sim_topk_lsh_multiprobe",  # r3: lowest-margin bit-flip probing
     "sim_neardup_lsh",  # r3: LSH-bucketed near-dup (the N² baseline's scale path)
     "text_bigram_lm_score",  # r3: bigram-cohesion LM proxy
     "events_dedup_redelivery",  # r3: keep-earliest exactly-once reconciliation
