@@ -82,6 +82,10 @@ _VERIFY_FIRST = [
     "m5_snapshot_diff",
     "sim_topk_lsh_multiprobe",
     "sim_topk_ivfpq",
+    "text_tfidf_topk",
+    "text_pii_scrub",
+    "docs_chunk_overlap",
+    "events_next_transition",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -139,6 +143,15 @@ _STABLE_TAIL = [
     # engine suite's reference golden tests
     "q1_user_events",
     "q2_engagements_by_segment",
+    # rotated out for the late-r3 additions (tfidf / pii_scrub /
+    # chunk_overlap / next_transition): all r2-green, unchanged r3.
+    # The scan+broadcast-agg shapes of the two TPC-H-style rollups are
+    # bench-tracked per round; langid/bpe are map-only projections
+    # whose shape stays in-window via text_quality_score.
+    "q_pricing_summary",
+    "q_region_revenue",
+    "text_langid",
+    "text_bpe_token_count",
 ]
 
 

@@ -729,3 +729,61 @@ def events_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event transition matrix: per-user event sequences →
+# (from_type, to_type) counts and conditional probabilities. The
+# user-path analytics twin of the funnel query: funnel asks "did the
+# ordered pattern complete", this asks "where do users actually go
+# next" — the input to churn prediction and UX flow analysis.
+# ---------------------------------------------------------------------------
+@query(
+    "events_next_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM t
+    """,
+)
+def events_next_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type → to_type) transition counts + P(to | from).
+
+    ONE user-keyed shuffle serves the lead() window (deterministic
+    (ts, event_id) order within user); the pair counts map-side
+    combine down to ≤ |types|² rows, and the per-from normalization
+    runs over that tiny aggregate — at 100 TB the second and third
+    exchanges move kilobytes. The probability is a single division of
+    exact integer counts, bit-equal across engines.
+    """
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    norm = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(norm).cast("double")
+        ).alias("prob"),
+    )

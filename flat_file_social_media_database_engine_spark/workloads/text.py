@@ -927,3 +927,278 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((total + SEQ_LEN - 1) / SEQ_LEN).cast("bigint").alias("n_sequences"),
         F.min("keep_rate").alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k retrieval: rank documents against a fixed query-term
+# set. The reference has no search operator (every buzzdb_lab1.cpp
+# query is a key/equality probe); this is the relevance-scoring shape
+# a corpus store owes its users, and the per-term weighting primitive
+# quality-classifier features build on.
+#
+# Float determinism: idf is the RAW ratio N/df (one exact integer
+# division per term), NOT log(N/df) — libm log results differ in the
+# last ulp across engines, and the ranking is identical under any
+# monotone transform of idf. The score is an explicit left-to-right
+# 3-term sum of products of identically-derived doubles, so Spark and
+# DuckDB produce bit-equal values.
+# ---------------------------------------------------------------------------
+TFIDF_TERMS: tuple[str, ...] = ("join", "hash", "filter")
+_TFIDF_K = 25
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    tf AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT)"
+                 f" AS tf_{i}"
+                 for i, t in enumerate(TFIDF_TERMS)
+             )}
+      FROM tok
+    ),
+    df AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                 f" AS df_{i}"
+                 for i in range(len(TFIDF_TERMS))
+             )}
+      FROM tf
+    )
+    SELECT doc_id,
+           {" + ".join(
+               f"tf_{i} * (CAST(n_docs AS DOUBLE) / df_{i})"
+               for i in range(len(TFIDF_TERMS))
+           )} AS score,
+           {", ".join(f"tf_{i}" for i in range(len(TFIDF_TERMS)))}
+    FROM tf CROSS JOIN df
+    WHERE {" + ".join(f"tf_{i}" for i in range(len(TFIDF_TERMS)))} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {_TFIDF_K}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k docs by TF-IDF against ``TFIDF_TERMS``.
+
+    Plan shape at 100 TB: one column-pruned scan computes per-doc term
+    frequencies (map-only, codegen); the document-frequency vector is
+    a SINGLE global aggregate row (map-side combined to one partial
+    per partition) broadcast back via cross join — no per-term
+    shuffle, no explode of the token stream. Ranking is a TakeOrdered
+    (per-partition top-k then driver merge of k·P rows), never a full
+    sort. Ties break on doc_id for determinism.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    tf = docs.select(
+        "doc_id",
+        *[
+            F.size(F.filter(toks, _in_set((t,)))).cast("bigint").alias(f"tf_{i}")
+            for i, t in enumerate(TFIDF_TERMS)
+        ],
+    )
+    df_row = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(TFIDF_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(TFIDF_TERMS)):
+        term = F.col(f"tf_{i}") * (
+            F.col("n_docs").cast("double") / F.col(f"df_{i}")
+        )
+        score = term if score is None else score + term
+    any_tf = None
+    for i in range(len(TFIDF_TERMS)):
+        any_tf = (
+            F.col(f"tf_{i}")
+            if any_tf is None
+            else any_tf + F.col(f"tf_{i}")
+        )
+    return (
+        tf.crossJoin(F.broadcast(df_row))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            score.alias("score"),
+            *[f"tf_{i}" for i in range(len(TFIDF_TERMS))],
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TFIDF_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: detect + redact email / phone patterns, report counts and
+# the redacted text's digest. The fixture corpus is synthetic and
+# PII-free, so PII is PLANTED deterministically from doc_id (both
+# engines replay the same planting) — a pass-through that fails to
+# redact fails the hash, which is the point of the differential.
+# Regexes stay inside the Java-regex ∩ RE2 common subset (character
+# classes + bounded repetition; no backrefs, no lookaround) so both
+# engines compile identical semantics.
+# ---------------------------------------------------------------------------
+_PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call +49-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM planted
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with per-doc detection counts.
+
+    Map-only: regex extraction and replacement run inside codegen on
+    the JVM; at 100 TB this rides the scan with zero shuffles, and the
+    digest column lets a downstream writer verify redaction without
+    re-reading bodies. Spark's `regexp_replace` is replace-ALL, which
+    DuckDB spells with the 'g' flag — the oracle carries the flag so
+    both engines scrub every occurrence.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +49-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        # idx=0 = the whole match: Spark defaults idx to capture group
+        # 1, DuckDB to group 0, and these patterns have no groups.
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window chunking: split each document's token stream into
+# fixed-size windows with stride overlap — the context-window
+# preparation step between cleaning and packing in a training build
+# (pack_sequences budgets whole docs; this splits docs that exceed
+# the window). Window/stride are fixture-scaled (production uses e.g.
+# 2048/1536); the start-grid arithmetic is scale-free.
+# ---------------------------------------------------------------------------
+CHUNK_WINDOW = 16
+CHUNK_STRIDE = 12
+
+
+@query(
+    "docs_chunk_overlap",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 1,
+                                    {CHUNK_STRIDE})) AS chunk_start
+      FROM arr
+    )
+    SELECT doc_id,
+           CAST(chunk_start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, chunk_start + 1,
+                               chunk_start + {CHUNK_WINDOW})) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, chunk_start + 1,
+                                          chunk_start + {CHUNK_WINDOW}), ' '))
+               AS chunk_md5
+    FROM starts
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each doc into overlapping token windows
+    (``CHUNK_WINDOW`` wide, every ``CHUNK_STRIDE`` tokens; the final
+    window truncates at the document end).
+
+    Map-only: `sequence` builds the start grid, `posexplode`-free
+    explode fans out ≤ ceil(n_tokens/stride) rows per doc, and the
+    window content hashes ride the same projection — no shuffle, no
+    Python. At 100 TB the expansion factor is a constant
+    window/stride ≈ 1.33× in tokens, and chunk rows inherit the
+    scan's partitioning (downstream packing groups by doc locality
+    for free).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", _tokens().alias("toks"))
+    starts = arr.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                (F.size("toks") - 1).cast("bigint"),
+                F.lit(CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("chunk_start"),
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_start").cast("int") + 1, CHUNK_WINDOW
+    )
+    return starts.select(
+        "doc_id",
+        F.floor(F.col("chunk_start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(sl).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+    )

@@ -91,3 +91,72 @@ def test_bigram_lm_score_hand_checked(spark, tmp_path):
     assert out[2]["sum_bigram_tf"] == 3 + 1
     assert out[2]["sum_prefix_tf"] == 3 + 3
     assert out[2]["bigram_cohesion"] == 4 / 6
+
+
+def test_tfidf_topk_hand_checked(spark, tmp_path):
+    """3 docs; terms (join, hash, filter). doc1 has join×2; doc2 has
+    hash×1 + filter×1; doc3 has none of the terms (filtered out).
+    idf = N/df (log-free): df_join=1, df_hash=1, df_filter=1, N=3."""
+    rows = [
+        (1, "join the join now", "en", "s", 1),
+        (2, "hash then filter", "en", "s", 1),
+        (3, "nothing relevant", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in T.text_tfidf_topk(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}  # doc3 matches no term
+    assert out[1]["score"] == pytest.approx(2 * (3 / 1))
+    assert out[2]["score"] == pytest.approx(1 * (3 / 1) + 1 * (3 / 1))
+
+
+def test_pii_scrub_counts_and_redacts(spark, tmp_path):
+    """doc 0: %7==0 and %11==0 → planted email AND phone; doc 1:
+    neither. A doc whose original text contains an email is also caught."""
+    rows = [
+        (0, "base text", "en", "s", 1),
+        (1, "reach me at alice@corp.io today", "en", "s", 1),
+        (2, "clean", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in T.text_pii_scrub(spark, str(tmp_path)).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1  # planted both
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 0  # organic email
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    # redaction is idempotent: same doc content + same planting → same digest
+    again = {r["doc_id"]: r for r in T.text_pii_scrub(spark, str(tmp_path)).collect()}
+    assert {k: v["redacted_md5"] for k, v in out.items()} == {
+        k: v["redacted_md5"] for k, v in again.items()
+    }
+
+
+def test_chunk_overlap_grid_and_truncation(spark, tmp_path):
+    """40 tokens, window=16 stride=12 → starts 0,12,24,36 with chunk
+    lengths 16,16,16,4 (final truncates); 10 tokens → one chunk of 10."""
+    long_doc = " ".join(f"t{i}" for i in range(40))
+    short_doc = " ".join(f"s{i}" for i in range(10))
+    rows = [(1, long_doc, "en", "s", 1), (2, short_doc, "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = T.docs_chunk_overlap(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c1] == [0, 12, 24, 36]
+    assert [r["n_chunk_tokens"] for r in c1] == [16, 16, 16, 4]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 10
+    # overlap invariant: consecutive windows share window-stride tokens,
+    # so every token index is covered at least once
+    covered = set()
+    for r in c1:
+        covered |= set(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"]))
+    assert covered == set(range(40))

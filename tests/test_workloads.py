@@ -123,3 +123,19 @@ def test_kmeans_assignment_improves_and_is_valid(spark, sf_small):
         r["d2"] for r in S._km_assign(base, seeds).collect()
     )
     assert final_obj <= seed_obj + 1e-9
+
+
+def test_next_transition_probabilities_sum_to_one(spark, sf_small):
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_next_transition,
+    )
+
+    rows = events_next_transition(spark, sf_small).collect()
+    assert rows, "transition matrix empty"
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for from_type, group in by_from.items():
+        total = sum(r["prob"] for r in group)
+        assert abs(total - 1.0) < 1e-9, from_type
+        assert all(r["n"] >= 1 for r in group)
