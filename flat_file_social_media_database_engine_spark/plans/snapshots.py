@@ -124,11 +124,26 @@ class SnapshotStore:
         key range)."""
         return self._publish(changed, append=False, partition_by=partition_by)
 
-    def append(self, appended: dict[str, DataFrame]) -> int:
+    def append(
+        self, appended: dict[str, DataFrame], meta: dict | None = None
+    ) -> int:
         """O(batch) APPEND: write only the new rows as an extra
         directory on the table's file list; prior files are untouched
-        (Iceberg/Delta-style add-files commit, single-writer case)."""
-        return self._publish(appended, append=True)
+        (Iceberg/Delta-style add-files commit, single-writer case).
+
+        ``meta`` rides the SAME manifest commit (merged over the prior
+        version's meta), so a writer can record progress markers —
+        e.g. a streaming sink's last-committed batch id — atomically
+        with the data they describe: one pointer swap publishes both
+        or neither, which is what makes foreachBatch replay idempotent
+        (see streaming/ingest.py)."""
+        return self._publish(appended, append=True, meta=meta)
+
+    def meta(self) -> dict:
+        """Writer-defined metadata of the current version (empty for
+        v0 and for manifests written before meta existed)."""
+        v = self.current_version()
+        return {} if v == 0 else self._manifest(v).get("meta", {})
 
     def compact(
         self, name: str, partition_by: list[str] | None = None
@@ -245,8 +260,10 @@ class SnapshotStore:
         append: bool,
         partition_by: dict[str, list[str]] | None = None,
         carry: dict[str, list[str]] | None = None,
+        meta: dict | None = None,
     ) -> int:
         old_tables = self.tables()
+        old_meta = self.meta()
         version = self.current_version() + 1
         vdir = os.path.join(self.root, f"v{version:05d}")
         os.makedirs(vdir, exist_ok=True)
@@ -269,7 +286,16 @@ class SnapshotStore:
                 new_tables[name] = [path]
 
         with open(os.path.join(vdir, "_MANIFEST.json"), "w") as f:
-            json.dump({"version": version, "tables": new_tables}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "tables": new_tables,
+                    # meta carries forward (merged) so progress markers
+                    # survive unrelated commits between stream batches.
+                    "meta": {**old_meta, **(meta or {})},
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         # Sync the version dir too, so the manifest's directory entry

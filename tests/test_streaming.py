@@ -444,3 +444,56 @@ def test_attribution_join_stream_matches_batch_pairs(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_exactly_once_ingest_into_snapshot_store(spark, tmp_path):
+    """foreachBatch sink: stream → SnapshotStore.append with the batch
+    id recorded in the SAME manifest commit. Redelivered batches (the
+    at-least-once crash-replay case) must be no-ops."""
+    from pyspark.sql import functions as F
+
+    from flat_file_social_media_database_engine_spark.plans.snapshots import (
+        SnapshotStore,
+    )
+    from flat_file_social_media_database_engine_spark.streaming.ingest import (
+        append_stream,
+        make_batch_sink,
+    )
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    stream = SE.read_events_stream(spark, SF, max_files_per_trigger=1)
+    q = append_stream(
+        store, stream, "events", str(tmp_path / "ckpt"), stream_id="t"
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    batch = read_table(spark, SF, "events")
+    got = store.read("events")
+    assert got.count() == batch.count()
+    # value-level: same event_id multiset
+    assert got.agg(F.sum("event_id")).collect()[0][0] == (
+        batch.agg(F.sum("event_id")).collect()[0][0]
+    )
+    v_after = store.current_version()
+    last = store.meta()["stream::t::events"]
+
+    # Crash-replay: redeliver the last batch (same id, same rows) —
+    # the sink must skip it entirely (no new version, no new rows).
+    sink = make_batch_sink(store, "events", stream_id="t")
+    sink(batch.limit(10), last)
+    assert store.current_version() == v_after
+    assert store.read("events").count() == batch.count()
+
+    # A genuinely NEW batch id commits rows + marker atomically.
+    sink(batch.limit(3).withColumn("event_id", F.col("event_id") + 10_000_000), last + 1)
+    assert store.current_version() == v_after + 1
+    assert store.read("events").count() == batch.count() + 3
+    assert store.meta()["stream::t::events"] == last + 1
+
+    # Markers survive unrelated commits (meta carries forward).
+    store.compact("events")
+    assert store.meta()["stream::t::events"] == last + 1
