@@ -86,6 +86,11 @@ _VERIFY_FIRST = [
     "text_pii_scrub",
     "docs_chunk_overlap",
     "events_next_transition",
+    # dedup.py's materialization strategy changed this round (shared
+    # shingle pass, localCheckpoint→persist) — every dedup_* entry
+    # stays in-window until re-verified, including this one
+    "dedup_incremental",
+    "s7_multiformat_union",
 ]
 _STABLE_TAIL = [
     # green in CORRECTNESS_r02, untouched this round, and each either a
@@ -152,6 +157,10 @@ _STABLE_TAIL = [
     "q_region_revenue",
     "text_langid",
     "text_bpe_token_count",
+    # rotated out for dedup_incremental/s7_multiformat_union: r2-green,
+    # its per-query code untouched this round (parity.py only gained
+    # new functions), and bench.py tracks it per round
+    "j2_chained_ri_lineitem",
 ]
 
 

@@ -795,3 +795,129 @@ def a5_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_A5_TOL).alias("tolerance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 — multi-format federation: one logical table served by three
+# physical formats in a single plan. The reference is CSV-only
+# (buzzdb_lab1.cpp loaders); this engine added JSONL + parquet +
+# bucketed sources, and this entry proves the loaders agree: the
+# events table is sliced three ways, each slice round-trips through a
+# different format (parquet stays put, one slice through the strict
+# CSV loader, one through the JSONL loader), and the reunited union
+# must aggregate identically to the original — format fidelity is
+# differentially checked per round, not assumed.
+# ---------------------------------------------------------------------------
+@query(
+    "s7_multiformat_union",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s7_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice events by event_id % 3 → {parquet, CSV, JSONL}; read each
+    slice back through its format's loader; union; aggregate.
+
+    Transport notes (the lossless-encoding decisions a federation
+    layer owes its formats): ``props`` is JSON-with-commas, and the
+    strict CSV dialect is UNQUOTED (reference grammar), so the CSV
+    slice carries props base64-encoded — the standard opaque-column
+    treatment for delimiter-unsafe payloads; ``ts`` rides as a
+    formatted µs string and casts back. JSONL needs neither (its
+    writer escapes natively). The aggregate spans all three slices,
+    so any fidelity loss in any loader breaks the differential hash.
+
+    Scale: each slice is one scan + one write + one scan (the
+    round-trip is the point of the entry, not a hot path); the final
+    union aggregates with ordinary map-side combine. The sum over
+    doubles goes through DECIMAL (see analytics._dsum rationale).
+    """
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..sources.csv_source import read_csv_strict
+    from ..sources.json_source import read_jsonl, write_jsonl
+
+    events = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="s7_fed_")
+    mod = F.col("event_id") % 3
+
+    pq_slice = events.filter(mod == 0)
+
+    # --- CSV slice: unquoted dialect → base64 the JSON column,
+    #     stringify the timestamp at µs precision.
+    csv_path = f"{tmp}/events_csv"
+    (
+        events.filter(mod == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("string").alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.base64(F.col("props").cast("binary")).alias("props_b64"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quote", "")
+        .csv(csv_path)
+    )
+    csv_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ts", TimestampType()),
+            StructField("props_b64", StringType()),
+        ]
+    )
+    csv_slice = read_csv_strict(
+        spark, csv_path, csv_schema, int_columns=["event_id", "user_id"]
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.unbase64("props_b64").cast("string").alias("props"),
+    )
+
+    # --- JSONL slice: native escaping, schema pinned from the source.
+    jsonl_slice_src = events.filter(mod == 2)
+    jsonl_path = f"{tmp}/events_jsonl"
+    write_jsonl(jsonl_slice_src, jsonl_path)
+    jsonl_slice = read_jsonl(spark, jsonl_path, schema=jsonl_slice_src.schema)
+
+    federated = pq_slice.unionByName(csv_slice).unionByName(jsonl_slice)
+    return federated.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_k"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
