@@ -136,8 +136,45 @@ class SnapshotStore:
         e.g. a streaming sink's last-committed batch id — atomically
         with the data they describe: one pointer swap publishes both
         or neither, which is what makes foreachBatch replay idempotent
-        (see streaming/ingest.py)."""
+        (see streaming/ingest.py).
+
+        Schema is ENFORCED at the sink (the Delta contract): a batch
+        column whose dtype differs from the table's is either aligned
+        by a value-exact cast — only the TIMESTAMP↔TIMESTAMP_NTZ pair
+        qualifies, same µs integer under the engine's pinned-UTC
+        sessions (streaming event-time must be TIMESTAMP while the
+        parquet fixtures scan as NTZ, so mixed writers are the normal
+        case) — or rejected loudly. Silent drift would poison every
+        later ``mergeSchema`` union read."""
+        appended = {
+            n: self._align_append_schema(n, df) for n, df in appended.items()
+        }
         return self._publish(appended, append=True, meta=meta)
+
+    def _align_append_schema(self, name: str, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        existing = self.tables().get(name)
+        if not existing:
+            return df
+        ts_family = (TimestampType, TimestampNTZType)
+        current = {f.name: f.dataType for f in self.read(name).schema.fields}
+        out, realigned = [], False
+        for f in df.schema.fields:
+            want = current.get(f.name, f.dataType)
+            if f.dataType == want:
+                out.append(F.col(f.name))
+            elif isinstance(f.dataType, ts_family) and isinstance(want, ts_family):
+                out.append(F.col(f.name).cast(want).alias(f.name))
+                realigned = True
+            else:
+                raise ValueError(
+                    f"append to '{name}': column '{f.name}' is "
+                    f"{f.dataType.simpleString()} but the table has "
+                    f"{want.simpleString()} — rewrite the batch (only "
+                    "timestamp-flavor drift is auto-aligned)"
+                )
+        return df.select(*out) if realigned else df
 
     def meta(self) -> dict:
         """Writer-defined metadata of the current version (empty for

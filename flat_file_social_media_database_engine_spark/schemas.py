@@ -20,7 +20,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
 # ---------------------------------------------------------------------------
@@ -112,13 +112,18 @@ PART = StructType(
     ]
 )
 
+# Timestamp columns are declared TIMESTAMP_NTZ: the driver's parquet
+# fixtures carry `timestamp[us]` with no UTC adjustment (Spark reads
+# them as TimestampNTZType), and the DuckDB oracle's TIMESTAMP is
+# likewise naive — pinning NTZ keeps all three engines value-identical
+# without a session-timezone dependency.
 ORDERS = StructType(
     [
         StructField("o_orderkey", LongType()),
         StructField("o_custkey", LongType()),
         StructField("o_orderstatus", StringType()),
         StructField("o_totalprice", DoubleType()),
-        StructField("o_orderdate", TimestampType()),
+        StructField("o_orderdate", TimestampNTZType()),
         StructField("o_orderpriority", StringType()),
     ]
 )
@@ -135,14 +140,14 @@ LINEITEM = StructType(
         StructField("l_tax", DoubleType()),
         StructField("l_returnflag", StringType()),
         StructField("l_linestatus", StringType()),
-        StructField("l_shipdate", TimestampType()),
+        StructField("l_shipdate", TimestampNTZType()),
     ]
 )
 
 EVENTS = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),

@@ -30,7 +30,6 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 from ..schemas import EVENTS
 from ..workloads.eventflow import SESSION_GAP_US
@@ -38,24 +37,18 @@ from ..workloads.eventflow import SESSION_GAP_US
 SESSION_GAP = "30 minutes"
 assert SESSION_GAP_US == 30 * 60 * 1_000_000  # keep twins in lockstep
 
-# The fixture parquet stores ts as TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong the scan yields a long that we
-# truncate to microseconds — identical to sources/catalog.read_table.
-_STREAM_SCHEMA = StructType(
-    [
-        StructField(f.name, LongType() if f.name == "ts" else f.dataType)
-        for f in EVENTS.fields
-    ]
-)
-
-
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """Open ``events`` as a file-source stream (schema pinned — never
-    inferred — exactly like every batch scan in this engine)."""
+    inferred — exactly like every batch scan in this engine). The
+    fixture parquet carries ``timestamp[us]`` with no UTC adjustment,
+    so ``ts`` scans as TIMESTAMP_NTZ (the declared EVENTS type) — but
+    Spark's event-time engine (``withWatermark``) accepts only
+    TIMESTAMP, so the source casts ``ts`` once at the boundary.
+    Under the pinned-UTC session the cast is value-exact, and the
+    batch twins' NTZ results collect to the same naive datetimes."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(path):
         # The file stream source requires a *directory* (its contract
@@ -68,13 +61,11 @@ def read_events_stream(
         if not os.path.exists(link):
             os.symlink(os.path.abspath(path), link)
         path = link_dir
-    raw = (
-        spark.readStream.schema(_STREAM_SCHEMA)
+    return (
+        spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        [f.name for f in EVENTS.fields]
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

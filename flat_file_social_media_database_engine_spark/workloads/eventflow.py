@@ -22,6 +22,17 @@ from . import ORACLE, query
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
 
+def _epoch_us(col) -> F.Column:
+    """Microseconds since epoch for either timestamp flavor. The
+    fixture parquet carries `timestamp[us]` with no UTC adjustment, so
+    Spark reads ``ts`` as TIMESTAMP_NTZ — which ``unix_micros`` rejects.
+    Under the engine's pinned-UTC session (set at every ``read_table``),
+    casting NTZ→TIMESTAMP is value-exact, so both flavors yield the
+    same integer the DuckDB oracle computes from its naive TIMESTAMP."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 # ---------------------------------------------------------------------------
 # JSON prop extraction + grouped rollup (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -133,7 +144,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             (
-                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                _epoch_us("ts") - F.lag(_epoch_us("ts")).over(w)
                 > F.lit(SESSION_GAP_US)
             )
             | F.lag("ts").over(w).isNull(),
@@ -219,7 +230,7 @@ def events_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             (
-                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_local)
+                _epoch_us("ts") - F.lag(_epoch_us("ts")).over(w_local)
                 > F.lit(SESSION_GAP_US)
             )
             | F.lag("ts").over(w_local).isNull(),
@@ -232,8 +243,8 @@ def events_sessionize_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # phase 2a: per-chunk boundary facts (small table: user × day)
     chunks = flagged.groupBy("user_id", "chunk").agg(
-        F.min(F.unix_micros("ts")).alias("first_us"),
-        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.min(_epoch_us("ts")).alias("first_us"),
+        F.max(_epoch_us("ts")).alias("last_us"),
         F.sum("is_new_local").alias("n_new_local"),
     )
     w_user = Window.partitionBy("user_id").orderBy("chunk")
@@ -502,7 +513,7 @@ _RANGE_WINDOW_US = 3_600_000_000  # 1 hour
 )
 def events_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
-    bucket = lambda t: F.floor(F.unix_micros(t) / F.lit(_RANGE_WINDOW_US))  # noqa: E731
+    bucket = lambda t: F.floor(_epoch_us(t) / F.lit(_RANGE_WINDOW_US))  # noqa: E731
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",

@@ -86,7 +86,7 @@ def test_multi_batch_incremental_equals_batch(spark, tmp_path):
         staging = tmp_path / f"stage_{i}"
         (
             events.filter(F.col("event_id") % 3 == i)
-            .withColumn("ts", F.unix_micros("ts") * 1000)  # back to nanos-as-long
+            .withColumn("ts", F.col("ts").cast("timestamp_ntz"))  # fixture dtype
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(str(staging))
@@ -118,7 +118,7 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
 
         df = spark.createDataFrame(rows, "event_id long, ts_s string").select(
             "event_id",
-            (F.unix_micros(F.to_timestamp("ts_s")) * 1000).alias("ts"),
+            F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
             F.lit(7).cast("long").alias("user_id"),
             F.lit("click").alias("event_type"),
             F.lit(1.0).alias("value"),
@@ -226,7 +226,7 @@ def test_running_clamp_incremental_trajectory(spark, tmp_path):
         splits.append(part_df.select("user_id", "value").toPandas())
         staging = tmp_path / f"clamp_stage_{i}"
         (
-            part_df.withColumn("ts", F.unix_micros("ts") * 1000)
+            part_df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(str(staging))
@@ -296,7 +296,7 @@ def test_running_clamp_state_expires_after_retention(spark, tmp_path):
             rows, "event_id long, ts_s string, user_id long, value double"
         ).select(
             "event_id",
-            (F.unix_micros(F.to_timestamp("ts_s")) * 1000).alias("ts"),
+            F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
             "user_id",
             F.lit("click").alias("event_type"),
             "value",
@@ -338,7 +338,7 @@ def test_dedupe_stream_drops_redelivered_events(spark, tmp_path):
     for i, part_df in enumerate((first, redelivered.union(fresh))):
         staging = tmp_path / f"dup_stage_{i}"
         (
-            part_df.withColumn("ts", F.unix_micros("ts") * 1000)
+            part_df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(str(staging))
