@@ -157,7 +157,16 @@ def connected_components(
                 f"{rounds} rounds (cap {max_rounds})"
             )
         rounds += 1
-        nxt = _reliable_checkpoint(_small_star(_large_star(cur)))
+        # Size the round's layout to the CURRENT edge count (a scalar
+        # the probe already paid for): ~200k edges per partition, so a
+        # contracted graph checkpoints as a handful of files instead
+        # of parallelism-many near-empty tasks, while a 100 TB edge
+        # set still spreads to the cluster's full width.
+        p = max(1, min(
+            cur.sparkSession.sparkContext.defaultParallelism,
+            cur_n // 200_000 + 1,
+        ))
+        nxt = _reliable_checkpoint(_small_star(_large_star(cur)).repartition(p))
         nxt_n, nxt_sig = _probe(nxt)
         stable = (nxt_n, nxt_sig) == (cur_n, cur_sig)
         cur, cur_n, cur_sig = nxt, nxt_n, nxt_sig

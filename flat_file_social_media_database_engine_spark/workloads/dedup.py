@@ -176,6 +176,7 @@ _DOC_SHINGLES_SQL = f"""
 
 
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +507,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair set, materialized ONCE per
+    (application, sf_dir) for DOWNSTREAM consumers — the same shared-
+    intermediate policy as ``_shingle_arrays``, one level up. An
+    iterative consumer like ``dedup_clusters`` references the pair
+    set many times (every star round's lineage would otherwise
+    re-run signature + bucket-join from the arrays); the pair set is
+    LSH-bounded (collision sets, not corpus), so the persisted
+    footprint stays small at any scale. ``dedup_minhash_lsh`` itself
+    does NOT read this cache: its bench entry measures the real
+    pipeline every run."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_PAIRS_CACHE.get(key)
+    if cached is None:
+        cached = materialize(dedup_minhash_lsh(spark, sf_dir))
+        _LSH_PAIRS_CACHE[key] = cached
+    return cached
+
+
 # ---------------------------------------------------------------------------
 # SimHash: per-doc 60-bit signature (tf-weighted sign-sum of token-
 # hash bits). Map-only; near-dup = small Hamming distance.
@@ -652,7 +672,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.graph._reliable_checkpoint``), and the convergence
     probe is a count + one-row containment check, never a data
     collect."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+    pairs = lsh_pairs_shared(spark, sf_dir).select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
     labels, _rounds = connected_components(pairs)
