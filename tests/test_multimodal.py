@@ -1,6 +1,6 @@
-"""Multimodal plumbing: schema, Arrow batch shape, deterministic fake
-decode, and frame sampling (decode stub policy in
-functions/multimodal.py).
+"""Multimodal plumbing: schema, Arrow batch shape, REAL codec paths
+(WAV PCM audio, netpbm P6 images, multi-image PPM video — see
+functions/multimodal.py), frame slicing, and nearest-neighbor resize.
 """
 
 from __future__ import annotations
@@ -35,22 +35,89 @@ def test_media_schema_and_metadata_typing(media):
     assert all(r["sample_rate"] is None for r in by_type["image"])
     assert all(r["n_frames"] >= 2 for r in by_type["video"])
     assert all(r["n_frames"] == 1 for r in by_type["image"])
+    # pixel metadata is real: width fixed, height tracks payload rows
+    assert all(r["width"] == M.IMG_WIDTH for r in by_type["image"])
+    assert all(r["height"] >= 1 for r in by_type["image"])
 
 
-def test_fake_decode_features_match_numpy(spark, media):
+# ---------------------------------------------------------------------------
+# PPM codec
+# ---------------------------------------------------------------------------
+def test_ppm_roundtrip_and_netpbm_grammar():
+    """Writer→parser round-trip, plus a FOREIGN-formatted header
+    (comments, arbitrary whitespace — the real netpbm grammar, which
+    our writer never emits) to prove the parser is not just the
+    writer inverted."""
+    pixels = bytes(range(256)) * 3  # 16x16 RGB
+    payload = M.ppm_encode(pixels, 16, 16)
+    assert payload.startswith(b"P6\n16 16\n255\n")
+    f = M.ppm_parse(payload)
+    assert (f["width"], f["height"], f["maxval"]) == (16, 16, 255)
+    assert f["pixels"] == pixels
+    assert f["end"] == len(payload)
+
+    foreign = b"P6 # comment\n  16\t16 # dims\n 255\n" + pixels
+    g = M.ppm_parse(foreign)
+    assert (g["width"], g["height"]) == (16, 16)
+    assert g["pixels"] == pixels
+
+
+def test_ppm_parse_rejects_malformed():
+    ok = M.ppm_encode(b"\x00" * 12, 2, 2)
+    for bad in (
+        b"",
+        b"P5\n2 2\n255\n" + b"\x00" * 12,  # wrong magic (PGM)
+        b"P6\n2 2\n65535\n" + b"\x00" * 24,  # 16-bit maxval unsupported
+        b"P6\n2 x\n255\n" + b"\x00" * 12,  # non-numeric token
+        ok[:-1],  # truncated raster
+        b"P6\n2 2\n255",  # missing raster separator
+    ):
+        with pytest.raises(ValueError):
+            M.ppm_parse(bad)
+
+
+def test_multi_image_stream_walks_every_frame():
+    a = M.ppm_encode(b"\x01" * 12, 2, 2)
+    b = M.ppm_encode(b"\x02" * 3, 1, 1)
+    frames = M.ppm_parse_all(a + b + a)
+    assert [(f["width"], f["height"]) for f in frames] == [(2, 2), (1, 1), (2, 2)]
+    assert frames[1]["pixels"] == b"\x02" * 3
+    with pytest.raises(ValueError):
+        M.ppm_parse_all(a + b"garbage")
+
+
+def test_image_payloads_are_real_ppm(media):
+    """Every fixture image/video payload must parse as a valid PPM
+    stream whose raster starts with the document's utf-8 bytes."""
+    rows = [r for r in media.collect() if r["media_type"] != "audio"]
+    assert rows
+    for r in rows:
+        frames = M.ppm_parse_all(bytes(r["content"]))
+        assert len(frames) == r["n_frames"]
+        assert all(f["width"] == r["width"] for f in frames)
+        assert all(f["height"] == r["height"] for f in frames)
+
+
+def test_decode_parses_pixels_and_counts_frames(spark, media):
     decoded = {r["media_id"]: r for r in M.decode_media(media).collect()}
-    payloads = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    payloads = {r["media_id"]: r for r in media.collect()}
     assert set(decoded) == set(payloads)
-    mid, payload = next(iter(sorted(payloads.items())))
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist, _ = np.histogram(arr, bins=M.FEATURE_DIM, range=(0, 256))
-    want = (hist / arr.size).astype(np.float32)
-    got = np.array(decoded[mid]["features"], dtype=np.float32)
-    assert np.array_equal(got, want)
-    assert decoded[mid]["n_bytes"] == len(payload)
-    assert decoded[mid]["decoder"] == "fake-histogram-v1"
-    # feature vectors are normalized histograms
-    assert abs(sum(decoded[mid]["features"]) - 1.0) < 1e-3
+    pix = next(
+        mid for mid, r in sorted(payloads.items()) if r["media_type"] == "video"
+    )
+    d, m = decoded[pix], payloads[pix]
+    assert d["decoder"] == "ppm-p6-v1"
+    assert (d["width"], d["height"], d["n_frames"]) == (
+        m["width"], m["height"], m["n_frames"],
+    )
+    raster = np.frombuffer(
+        b"".join(f["pixels"] for f in M.ppm_parse_all(bytes(m["content"]))),
+        dtype=np.uint8,
+    )
+    hist, _ = np.histogram(raster, bins=M.FEATURE_DIM, range=(0, 256))
+    want = (hist / raster.size).astype(np.float32)
+    assert np.array_equal(np.array(d["features"], dtype=np.float32), want)
+    assert abs(sum(d["features"]) - 1.0) < 1e-3
 
 
 def test_features_feed_similarity_shape(spark, media):
@@ -60,43 +127,74 @@ def test_features_feed_similarity_shape(spark, media):
     assert len(row["features"]) == M.FEATURE_DIM
 
 
-def test_frame_sampling_is_column_math(media):
+def test_frame_sampling_slices_real_frames(media):
+    """Column-math frame extraction: every sampled row must be a
+    standalone, parseable P6 image equal to the corresponding frame
+    of the decoded stream."""
     frames = M.sample_frames(media, every_k=2).collect()
+    src = {r["media_id"]: r for r in media.collect()
+           if r["media_type"] == "video"}
     by_media = {}
     for r in frames:
-        by_media.setdefault(r["media_id"], []).append(r["frame_index"])
-    n_frames = {r["media_id"]: r["n_frames"] for r in media.collect()
-                if r["media_type"] == "video"}
-    assert set(by_media) == set(n_frames)
-    for mid, idxs in by_media.items():
-        assert idxs == list(range(0, n_frames[mid], 2))
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(src)
+    for mid, rows in by_media.items():
+        want = M.ppm_parse_all(bytes(src[mid]["content"]))
+        idxs = [r["frame_index"] for r in rows]
+        assert idxs == list(range(0, src[mid]["n_frames"], 2))
+        for r in rows:
+            got = M.ppm_parse(bytes(r["frame"]))
+            ref = want[r["frame_index"]]
+            assert (got["width"], got["height"]) == (ref["width"], ref["height"])
+            assert got["pixels"] == ref["pixels"]
+            assert got["end"] == len(bytes(r["frame"]))  # exact slice
 
 
-def test_resize_media_aspect_clamp_and_passthrough(spark):
-    """Aspect preserved on non-square frames, no upscale of small
-    media, audio untouched, stride math matches the metadata scale."""
+def test_resize_media_strides_pixel_grid(spark):
+    """NN resize on a hand-built non-square PPM: stride comes from
+    the longer side, output dims are ceil(w/s) x ceil(h/s), raster
+    equals the numpy-strided grid, audio passes through."""
+    grid = np.arange(64 * 32 * 3, dtype=np.uint8).reshape(32, 64, 3)
+    still = M.ppm_encode(grid.tobytes(), 64, 32)
     rows = [
-        (1, "image", b"0123456789abcdef", 64, 32, 1, None),  # 2:1 still
-        (2, "image", b"tiny", 8, 8, 1, None),                # below max_side
-        (3, "audio", b"pcm-bytes", None, None, 1, 16000),    # passthrough
+        (1, "image", still, 64, 32, 1, None),
+        (2, "image", M.ppm_encode(b"\x07" * 48, 4, 4), 4, 4, 1, None),
+        (3, "audio", M.wav_encode(b"pcm-bytes"), None, None, 1, 16000),
     ]
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in M.resize_media(media, max_side=16).collect()}
 
-    big = out[1]  # scale 16/64 = 0.25 -> 16x8, stride 4
+    big = out[1]  # s = ceil(64/16) = 4 -> 16 x 8
     assert (big["width"], big["height"]) == (16, 8)
-    assert bytes(big["content"]) == b"0123456789abcdef"[::4]
+    f = M.ppm_parse(bytes(big["content"]))
+    assert f["pixels"] == np.ascontiguousarray(grid[::4, ::4]).tobytes()
+    assert big["resizer"] == "ppm-nn-v1"
 
-    small = out[2]  # scale clamped at 1.0 — no upscale, bytes intact
-    assert (small["width"], small["height"]) == (8, 8)
-    assert bytes(small["content"]) == b"tiny"
+    small = out[2]  # 4x4 <= max_side: s=1, bytes intact
+    assert (small["width"], small["height"]) == (4, 4)
+    assert bytes(small["content"]) == M.ppm_encode(b"\x07" * 48, 4, 4)
 
     audio = out[3]  # no pixel grid: untouched
     assert audio["width"] is None and audio["height"] is None
-    assert bytes(audio["content"]) == b"pcm-bytes"
-    assert audio["resizer"] == "fake-stride-v1"
+    assert bytes(audio["content"]) == M.wav_encode(b"pcm-bytes")
+    assert audio["resizer"] == "passthrough"
 
 
+def test_resized_video_is_valid_ppm_stream(spark, media):
+    resized = M.resize_media(media, max_side=32)
+    r = next(
+        r for r in resized.collect() if r["media_type"] == "video"
+    )
+    frames = M.ppm_parse_all(bytes(r["content"]))
+    assert all(
+        (f["width"], f["height"]) == (r["width"], r["height"]) for f in frames
+    )
+    assert max(r["width"], r["height"]) <= 32
+
+
+# ---------------------------------------------------------------------------
+# WAV codec
+# ---------------------------------------------------------------------------
 def test_wav_encode_is_readable_by_stdlib_wave():
     """Golden check with an INDEPENDENT reader: Python's stdlib `wave`
     module must accept our writer's output and report the same
@@ -143,6 +241,7 @@ def test_audio_decode_is_real_wav_path(spark, media):
         assert d["sample_rate"] == 16_000
         assert d["n_channels"] == 1 and d["bits_per_sample"] == 16
         assert d["n_bytes"] == len(payload)
+        assert d["width"] is None and d["n_frames"] is None
         data = payload[44:]
         assert d["n_samples"] == len(data) // 2
         samples = np.frombuffer(data, dtype="<i2")
@@ -150,7 +249,3 @@ def test_audio_decode_is_real_wav_path(spark, media):
                                range=(-32768, 32768))
         want = (hist / samples.size).astype(np.float32)
         assert np.array_equal(np.array(d["features"], dtype=np.float32), want)
-    # image rows keep the labeled fake
-    img = next(r for r in decoded.values() if r["media_type"] == "image")
-    assert img["decoder"] == "fake-histogram-v1"
-    assert img["sample_rate"] is None
