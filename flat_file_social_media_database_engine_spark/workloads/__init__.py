@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "mm_payload_stats",
     "mm_decode_features",
     "mm_resize_stats",
+    "mm_frame_stats",  # new r3: JVM-side frame slicing, never verified
     # changed this round (band keys / shared shingles / persist swap /
     # large-star-small-star / block scaling / new LSH oracle / compact)
     "dedup_minhash_lsh",
@@ -93,6 +94,10 @@ _VERIFY_FIRST = [
     "s7_multiformat_union",
 ]
 _STABLE_TAIL = [
+    # rotated out for mm_frame_stats (late r3): r2-green, its
+    # digest-groupBy code path untouched by the r3 dedup.py changes
+    # (shared pair cache / CC sizing), and bench-tracked per round
+    "dedup_exact",
     # green in CORRECTNESS_r02, untouched this round, and each either a
     # scale-twin of a query still inside the window or a parity entry
     # whose operator is exercised by other in-window queries. This set

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.multimodal import decode_media, synthesize_media_from_documents
+from ..functions.multimodal import (
+    decode_media,
+    sample_frames,
+    synthesize_media_from_documents,
+)
 from ..sources.catalog import read_table
 from . import query
 
@@ -184,4 +188,51 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("content")).cast("bigint").alias("total_bytes_resized"),
         F.sum("width").cast("bigint").alias("sum_width"),
         F.sum("height").cast("bigint").alias("sum_height"),
+    )
+
+
+@query(
+    "mm_frame_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {_MT_SQL} AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS ol
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, doc_id % 7 + 2 AS nf, {_H_SQL} AS h
+      FROM m WHERE media_type = 'video'
+    ),
+    f AS (
+      SELECT doc_id, h, unnest(range(0, nf, 2)) AS frame_index FROM v
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_index AS INTEGER) AS frame_index,
+           CAST(11 + length(CAST(h AS VARCHAR)) + h * 192 AS BIGINT)
+               AS frame_bytes,
+           TRUE AS is_p6
+    FROM f
+    """,
+)
+def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver check for the JVM-side frame slicer: every-2nd frame of
+    every video, with the sliced frame's byte length and magic. The
+    whole Spark path — `sequence`/`explode` frame selection plus
+    `substring` at metadata-derived byte offsets — runs in
+    whole-stage codegen (no Python, no decode); the oracle predicts
+    each slice's exact container length (header digit count included)
+    and the kept frame indices from the text length alone. An
+    off-by-one in the offset math, the stride, or the header-length
+    formula produces a wrong length or a non-'P6' magic and fails the
+    hash row. Exact raster equality per frame is pinned in
+    tests/test_multimodal.py (slices re-parsed and diffed against the
+    decoded stream)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    frames = sample_frames(media, every_k=2)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+        (F.substring("frame", 1, 2).cast("string") == "P6").alias("is_p6"),
     )
