@@ -45,6 +45,7 @@ HEADLINE = [
     "sim_neardup_lsh",  # r3: LSH-bucketed near-dup (the N² baseline's scale path)
     "text_bigram_lm_score",  # r3: bigram-cohesion LM proxy
     "events_dedup_redelivery",  # r3: keep-earliest exactly-once reconciliation
+    "mm_decode_features",  # r3: real WAV+PPM codecs over Arrow mapInPandas
 ]
 
 
