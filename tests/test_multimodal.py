@@ -249,3 +249,47 @@ def test_audio_decode_is_real_wav_path(spark, media):
                                range=(-32768, 32768))
         want = (hist / samples.size).astype(np.float32)
         assert np.array_equal(np.array(d["features"], dtype=np.float32), want)
+
+
+# ---------------------------------------------------------------------------
+# Codec property tests (hypothesis; no Spark session needed)
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+        st.binary(min_size=0, max_size=8 * 8 * 3),
+    )
+    def test_ppm_encode_parse_roundtrip_property(w, h, noise):
+        pixels = noise.ljust(w * h * 3, b"\x9c")[: w * h * 3]
+        f = M.ppm_parse(M.ppm_encode(pixels, w, h))
+        assert (f["width"], f["height"], f["pixels"]) == (w, h, pixels)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def test_ppm_parse_garbage_never_misparses(data):
+        """Arbitrary bytes either raise ValueError or parse into a
+        self-consistent frame (declared dims match the raster taken)."""
+        try:
+            f = M.ppm_parse(data)
+        except ValueError:
+            return
+        assert len(f["pixels"]) == f["width"] * f["height"] * 3
+        assert f["end"] <= len(data)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def test_wav_parse_garbage_never_misparses(data):
+        try:
+            w = M.wav_parse_header(data)
+        except ValueError:
+            return
+        assert len(w["data"]) == w["n_samples"] * 2
+        assert w["sample_rate"] > 0
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
