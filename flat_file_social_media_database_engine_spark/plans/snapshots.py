@@ -31,6 +31,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed (or is committing) the version this
+    writer tried to claim. The losing commit is cleanly aborted —
+    nothing was published — and the caller may re-plan against the
+    new current snapshot and retry."""
+
+
 class SnapshotStore:
     """Directory layout::
 
@@ -52,9 +59,14 @@ class SnapshotStore:
     line, buzzdb_lab1.cpp:663-672; this is its snapshot-safe twin).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, stale_claim_seconds: float = 300.0
+    ):
         self.spark = spark
         self.root = root
+        # how old an unmanifested version claim must be before it is
+        # treated as a crashed writer's debris (see _claim_version)
+        self.stale_claim_seconds = stale_claim_seconds
         os.makedirs(root, exist_ok=True)
 
     # -- pointer ----------------------------------------------------------
@@ -291,6 +303,62 @@ class SnapshotStore:
             merged = updates
         return self._publish({name: merged}, append=False, carry={name: kept})
 
+    def _claim_version(self, version: int) -> str:
+        """CLAIM the next version directory with an atomic ``mkdir`` —
+        the optimistic commit protocol (Delta/Iceberg's
+        rename-if-absent, reduced to what a POSIX filesystem gives
+        for free). Exactly one writer can create ``vNNNNN``; a
+        concurrent second writer gets ``FileExistsError`` and aborts
+        with :class:`ConcurrentWriteError` BEFORE writing anything —
+        the previous silent behavior was two writers sharing one
+        version directory and the later pointer swap discarding one
+        commit's data.
+
+        Crash recovery: a claimed directory the pointer never reached
+        is debris from a writer that died mid-commit (publication IS
+        the pointer swap — even a fully-written manifest is
+        unpublished without it). Claim-present alone cannot
+        distinguish a crashed writer from a slow live one, so the
+        sweep additionally requires every file under the claim to be
+        older than ``stale_claim_seconds`` (a live commit keeps
+        touching its directory as parquet lands, and swaps the
+        pointer within moments of the manifest). Two live writers
+        racing over the same swept debris still resolve to one winner
+        (the second ``mkdir`` fails); a lock service would only be
+        needed for filesystems without atomic ``mkdir`` (object
+        stores — where the real Iceberg/Delta commit coordinators
+        come in)."""
+        import time
+
+        vdir = os.path.join(self.root, f"v{version:05d}")
+        for attempt in (0, 1):
+            try:
+                os.mkdir(vdir)
+                return vdir
+            except FileExistsError:
+                newest = 0.0
+                for dirpath, _dirs, files in os.walk(vdir):
+                    paths = [dirpath] + [os.path.join(dirpath, f) for f in files]
+                    for p in paths:
+                        try:
+                            newest = max(newest, os.stat(p).st_mtime)
+                        except OSError:
+                            pass
+                stale = (
+                    self.current_version() < version
+                    and time.time() - newest > self.stale_claim_seconds
+                )
+                if stale and attempt == 0:
+                    import shutil
+
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    continue
+                raise ConcurrentWriteError(
+                    f"version {version} already claimed by another "
+                    "writer; re-plan against the current snapshot and retry"
+                ) from None
+        raise AssertionError("unreachable")
+
     def _publish(
         self,
         changed: dict[str, DataFrame],
@@ -302,8 +370,7 @@ class SnapshotStore:
         old_tables = self.tables()
         old_meta = self.meta()
         version = self.current_version() + 1
-        vdir = os.path.join(self.root, f"v{version:05d}")
-        os.makedirs(vdir, exist_ok=True)
+        vdir = self._claim_version(version)
 
         new_tables = {n: list(ps) for n, ps in old_tables.items()}
         for name, df in changed.items():

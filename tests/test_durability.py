@@ -43,9 +43,21 @@ def test_crash_before_pointer_swap_preserves_published_snapshot(store, spark):
     assert store.current_version() == v1
     assert sorted(tuple(r) for r in store.read("t").collect()) == before
 
-    # recovery: the next commit publishes OVER the orphan (single-
-    # writer store; same version slot is rewritten, then pointed at)
+    # A FRESH claim is protected (could be a live writer): the next
+    # commit refuses rather than sweeping it...
+    from flat_file_social_media_database_engine_spark.plans.snapshots import (
+        ConcurrentWriteError,
+    )
+
     df = spark.createDataFrame([(3, "c")], "id int, v string")
+    with pytest.raises(ConcurrentWriteError):
+        store.commit({"t": df})
+
+    # ...but once the claim is provably stale (no file touched within
+    # the staleness horizon; publication is the POINTER, so even a
+    # full manifest is unpublished debris), recovery sweeps it and
+    # the same version slot is rewritten, then pointed at.
+    store.stale_claim_seconds = 0.0
     v_next = store.commit({"t": df})
     assert v_next == v1 + 1
     assert sorted(tuple(r) for r in store.read("t").collect()) == [(3, "c")]
@@ -322,3 +334,62 @@ def test_crud_sequence_matches_model_and_history(spark, tmp_path):
     for ver, want in enumerate(history, start=1):
         got = {r["id"]: r["v"] for r in s.read("t", version=ver).collect()}
         assert got == want, f"version {ver}"
+
+
+def test_concurrent_writers_one_commit_survives_one_aborts(store, spark):
+    """Two store handles over the same root race a commit: exactly one
+    publishes, the other aborts with ConcurrentWriteError BEFORE
+    writing anything visible — never two writers sharing a version
+    directory with last-pointer-swap-wins data loss (the pre-claim
+    behavior)."""
+    from flat_file_social_media_database_engine_spark.plans.snapshots import (
+        ConcurrentWriteError,
+        SnapshotStore,
+    )
+
+    other = SnapshotStore(spark, store.root)
+    v1 = store.current_version()
+
+    # Writer A claims the next version but has not published yet
+    # (simulate A paused mid-commit right after its claim).
+    a_dir = store._claim_version(v1 + 1)
+    assert os.path.isdir(a_dir)
+
+    # Writer B's whole commit must abort cleanly...
+    with pytest.raises(ConcurrentWriteError):
+        other.commit(
+            {"t": spark.createDataFrame([(7, "g")], "id int, v string")}
+        )
+    # ...leaving the published state untouched.
+    assert other.current_version() == v1
+    assert sorted(tuple(r) for r in other.read("t").collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+    # A finishes; B re-plans against the new snapshot and succeeds.
+    os.rmdir(a_dir)  # A's claim released (its commit path would publish)
+    store.commit({"t": spark.createDataFrame([(8, "h")], "id int, v string")})
+    v3 = other.commit({"t": spark.createDataFrame([(9, "i")], "id int, v string")})
+    assert v3 == v1 + 2
+    assert [tuple(r) for r in other.read("t").collect()] == [(9, "i")]
+    # every published version remains time-travel readable
+    assert sorted(tuple(r) for r in other.read("t", version=v1).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_sequential_writers_interleave_without_conflict(store, spark):
+    """Two handles alternating commits (no overlap) never conflict,
+    and each sees the other's rows — the single-writer-at-a-time
+    contract, now enforced rather than assumed."""
+    from flat_file_social_media_database_engine_spark.plans.snapshots import (
+        SnapshotStore,
+    )
+
+    other = SnapshotStore(spark, store.root)
+    store.append({"t": spark.createDataFrame([(5, "e")], "id int, v string")})
+    other.append({"t": spark.createDataFrame([(6, "f")], "id int, v string")})
+    got = sorted(tuple(r) for r in store.read("t").collect())
+    assert got == [(1, "a"), (2, "b"), (5, "e"), (6, "f")]
