@@ -92,6 +92,12 @@ _VERIFY_FIRST = [
     # stays in-window until re-verified, including this one
     "dedup_incremental",
     "s7_multiformat_union",
+    # new late-r3 — never driver-verified: exact repeated-span
+    # (substring-level) dedup, Bloom ingest prefilter, CMS heavy
+    # hitters
+    "dedup_span_exact",
+    "dedup_bloom_prefilter",
+    "events_heavy_hitters",
 ]
 _STABLE_TAIL = [
     # rotated out for mm_frame_stats (late r3): r2-green, its
@@ -166,6 +172,18 @@ _STABLE_TAIL = [
     # its per-query code untouched this round (parity.py only gained
     # new functions), and bench.py tracks it per round
     "j2_chained_ri_lineitem",
+    # rotated out for the three late-r3 additions (span dedup / bloom
+    # prefilter / CMS heavy hitters): all r2-green and their code
+    # paths untouched since (text.py's r3 diff modified only
+    # text_commonness_score, which stays in-window; these three are
+    # map-only or single-shuffle text/sampling shapes whose plan
+    # families remain in-window via text_bigram_lm_score,
+    # sample_train_split, and docs_chunk_overlap). text_quality_score
+    # additionally stays bench-tracked per round.
+    "text_quality_score",
+    "pipeline_clean_corpus",
+    "sample_stratified",
+    "docs_pack_sequences",
 ]
 
 

@@ -795,3 +795,255 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-span detection (substring-level dedup): positional
+# K-gram hashes, a gram is "duplicated" when it occurs >= 2 times in
+# the corpus, per-doc coverage = distinct token positions under any
+# duplicated gram. This is the span-granular complement of the
+# document-granular dedup family above (the reference dedups whole
+# rows by key, buzzdb_lab1.cpp:202; training pipelines additionally
+# cut REPEATED PASSAGES out of otherwise-unique documents).
+# ---------------------------------------------------------------------------
+SPAN_K = 5  # token width of the exact-match span unit
+
+
+@query(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {SPAN_K} + 2)) AS pos, toks
+      FROM tok WHERE len(toks) >= {SPAN_K}
+    ),
+    gh AS (
+      SELECT doc_id, pos,
+             {_h60_sql(f"array_to_string(toks[pos:pos+{SPAN_K - 1}], ' ')")} AS h
+      FROM g
+    ),
+    cnt AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS c FROM gh GROUP BY h
+    ),
+    j AS (
+      SELECT doc_id, pos, c FROM gh JOIN cnt USING (h)
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (WHERE c >= 2) AS BIGINT) AS n_dup_grams
+      FROM j GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_dup_tokens
+      FROM (SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p
+            FROM j WHERE c >= 2)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(s.n_grams, 0) AS n_grams,
+           COALESCE(s.n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(c2.n_dup_tokens, 0) AS n_dup_tokens,
+           COALESCE(c2.n_dup_tokens, 0) / CAST(len(t.toks) AS BIGINT)
+               AS dup_token_frac
+    FROM tok t
+    LEFT JOIN stats s ON s.doc_id = t.doc_id
+    LEFT JOIN cov c2 ON c2.doc_id = t.doc_id
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-span stats: how much of each document is
+    covered by an exact SPAN_K-token span that also occurs elsewhere
+    in the corpus (including a second time in the same doc).
+
+    Scale posture — the classic distributed exact-substring-dedup
+    shape: gram generation is map-only off the token arrays; the
+    occurrence count is ONE map-side-combined shuffle keyed on an
+    8-byte gram hash (never the gram text); the duplicate flags come
+    back through a join on that same key, so AQE can plan both sides
+    from the same exchange; coverage is a bounded <= {SPAN_K}x explode
+    of only the duplicated positions, combined per doc. Nothing holds
+    a whole document's grams in one row past the map stage, so row
+    width stays O(1) at any corpus size. "Duplicated" is defined on
+    the 60-bit gram hash identically in both engines, so the oracle
+    is a true differential of the whole pipeline, not a
+    reimplementation detail."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    grams = (
+        tok.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    n >= SPAN_K,
+                    F.transform(
+                        F.sequence(F.lit(1), n - SPAN_K + 1),
+                        lambda i: _h60(
+                            F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_K))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    j = grams.join(cnt, "h")
+    stats = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+    )
+    cov = (
+        j.filter(F.col("c") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    return (
+        tok.select("doc_id", n.cast("bigint").alias("n_tokens"))
+        .join(stats, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            (F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter ingest prefilter: the approximate-membership gate a
+# 100 TB pipeline puts IN FRONT of exact incremental dedup — the
+# corpus digest index is too big to join every micro-batch against,
+# but its Bloom bitmap is megabytes and broadcastable. Exact-join
+# confirmation runs only for bloom hits. Implemented fully JVM-side:
+# a "set bit" is a row in a distinct (bit) DataFrame (the bitmap in
+# relational clothing), membership is a broadcast join + count match.
+# ---------------------------------------------------------------------------
+BLOOM_M = 4096  # bits
+BLOOM_K = 4  # hash functions
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents
+    ),
+    old AS (
+      SELECT DISTINCT digest FROM d WHERE doc_id < {N_OLD}
+    ),
+    bits AS (
+      SELECT DISTINCT
+             {_h60_sql("digest || '|' || CAST(j AS VARCHAR)")} % {BLOOM_M} AS bit
+      FROM old, unnest([0, 1, 2, 3]) AS t(j)
+    ),
+    new_batch AS (
+      SELECT doc_id, digest FROM d WHERE doc_id >= {N_OLD}
+    ),
+    probes AS (
+      SELECT DISTINCT doc_id,
+             {_h60_sql("digest || '|' || CAST(j AS VARCHAR)")} % {BLOOM_M} AS bit
+      FROM new_batch, unnest([0, 1, 2, 3]) AS t(j)
+    ),
+    need AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_need FROM probes GROUP BY doc_id
+    ),
+    hit AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM probes p JOIN bits b USING (bit) GROUP BY p.doc_id
+    )
+    SELECT n.doc_id,
+           COALESCE(h.n_hit, 0) = nd.n_need AS bloom_hit,
+           o.digest IS NOT NULL AS in_corpus,
+           CASE WHEN COALESCE(h.n_hit, 0) = nd.n_need
+                     AND o.digest IS NOT NULL THEN 'true_positive'
+                WHEN COALESCE(h.n_hit, 0) = nd.n_need THEN 'false_positive'
+                WHEN o.digest IS NOT NULL THEN 'false_negative'
+                ELSE 'true_negative' END AS status
+    FROM new_batch n
+    JOIN need nd ON nd.doc_id = n.doc_id
+    LEFT JOIN hit h ON h.doc_id = n.doc_id
+    LEFT JOIN old o ON o.digest = n.digest
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify a new ingest batch through a Bloom filter built over
+    the corpus digest set, then confirm against the exact set — the
+    output labels every new doc true_positive / false_positive /
+    true_negative (false_negative cannot occur by construction; the
+    CASE arm exists so a logic regression surfaces as a wrong label,
+    not silence).
+
+    Scale posture: the corpus side collapses to <= BLOOM_M distinct
+    bit rows — a KILOBYTES-sized broadcast regardless of corpus size
+    (the real win: exact confirm joins only bloom hits, ~1% of a
+    fresh-content batch at these parameters: k=4, m=4096, n~400
+    gives (1-e^(-kn/m))^k ~ 1e-2). Bit positions derive from
+    the md5-based 60-bit hash family (`_h60`) so both engines compute
+    identical bitmaps — the oracle differentials the filter itself,
+    false positives included, not just the exact confirm."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.md5(_norm()).alias("digest"))
+    old = d.filter(F.col("doc_id") < N_OLD).select("digest").distinct()
+
+    def positions(col: Column) -> Column:
+        return F.array_distinct(
+            F.array(
+                *[
+                    _h60(F.concat_ws("|", col, F.lit(str(j)))) % BLOOM_M
+                    for j in range(BLOOM_K)
+                ]
+            )
+        )
+
+    bits = (
+        old.select(F.explode(positions(F.col("digest"))).alias("bit")).distinct()
+    )
+    new_batch = d.filter(F.col("doc_id") >= N_OLD).select(
+        "doc_id", "digest", positions(F.col("digest")).alias("pbits")
+    )
+    probes = new_batch.select(
+        "doc_id", F.size("pbits").cast("bigint").alias("n_need"),
+        F.explode("pbits").alias("bit"),
+    )
+    hit = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "n_need")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select("doc_id", (F.col("n_hit") == F.col("n_need")).alias("bloom_hit"))
+    )
+    return (
+        new_batch.join(hit, "doc_id", "left")
+        .join(
+            F.broadcast(old.withColumnRenamed("digest", "od")),
+            new_batch.digest == F.col("od"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+            F.col("od").isNotNull().alias("in_corpus"),
+            F.when(
+                F.coalesce("bloom_hit", F.lit(False)) & F.col("od").isNotNull(),
+                F.lit("true_positive"),
+            )
+            .when(F.coalesce("bloom_hit", F.lit(False)), F.lit("false_positive"))
+            .when(F.col("od").isNotNull(), F.lit("false_negative"))
+            .otherwise(F.lit("true_negative"))
+            .alias("status"),
+        )
+    )

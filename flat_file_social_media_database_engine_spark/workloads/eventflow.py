@@ -798,3 +798,110 @@ def events_next_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(norm).cast("double")
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: the sketch a 100 TB stream runs when
+# exact per-key counts don't fit — d x w counters bound memory at
+# d*w*8 bytes REGARDLESS of key cardinality, estimates overcount but
+# never undercount. Here the exact counts (cheap at fixture scale) ride
+# along as the verification twin, so the driver differential checks
+# the sketch's actual estimates, collisions included.
+# ---------------------------------------------------------------------------
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row
+CMS_TOPK = 10
+
+
+def _cms_bucket(col, j: int) -> F.Column:
+    from .dedup import _h60
+
+    return _h60(F.concat_ws("|", col.cast("string"), F.lit(str(j)))) % CMS_W
+
+
+def _cms_bucket_sql(expr: str, j: str) -> str:
+    from .dedup import _h60_sql
+
+    inner = f"CAST({expr} AS VARCHAR) || '|' || CAST({j} AS VARCHAR)"
+    return f"{_h60_sql(inner)} % {CMS_W}"
+
+
+_CMS_J = ", ".join(str(j) for j in range(CMS_D))
+
+
+def _cms_oracle() -> str:
+    b = _cms_bucket_sql("user_id", "j")
+    return f"""
+    WITH cms AS (
+      SELECT j AS d, {b} AS w, CAST(count(*) AS BIGINT) AS cnt
+      FROM events, unnest([{_CMS_J}]) AS t(j)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, user_id LIMIT {CMS_TOPK}
+    ),
+    probes AS (
+      SELECT user_id, exact_cnt, j AS d, {b} AS w
+      FROM top, unnest([{_CMS_J}]) AS t(j)
+    )
+    SELECT p.user_id, p.exact_cnt, min(c.cnt) AS cms_est,
+           min(c.cnt) - p.exact_cnt AS overcount
+    FROM probes p JOIN cms c ON c.d = p.d AND c.w = p.w
+    GROUP BY p.user_id, p.exact_cnt
+    """
+
+
+@query("events_heavy_hitters", oracle=_cms_oracle())
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K event producers with their count-min-sketch estimates:
+    (user_id, exact_cnt, cms_est, overcount), overcount >= 0 always
+    (CMS never undercounts; a negative value = implementation bug the
+    differential would catch).
+
+    Scale posture: the sketch is CMS_D x CMS_W = 2048 counters — the
+    events scan fans each row into CMS_D (row, bucket) cells that
+    map-side combine to at most d*w rows per partition, so the
+    sketch's shuffle moves KILOBYTES at any event volume, and the
+    result broadcasts to wherever estimates are needed. The exact
+    top-K side exists as the verification twin (at 100 TB you keep
+    only the sketch; the fixture is small enough to afford ground
+    truth, which is exactly what makes the oracle differential check
+    the sketch's collision behavior, not just its happy path)."""
+    events = read_table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+
+    def cells(src: DataFrame, keep: list[str]) -> DataFrame:
+        return src.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("d"), _cms_bucket(uid, j).alias("w")
+                        )
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("cell"),
+        ).select(*keep, F.col("cell.d").alias("d"), F.col("cell.w").alias("w"))
+
+    cms = cells(events, []).groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(CMS_TOPK)
+    probes = cells(top, ["user_id", "exact_cnt"])
+    return (
+        probes.join(F.broadcast(cms), ["d", "w"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )

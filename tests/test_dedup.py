@@ -145,3 +145,35 @@ def test_shingle_udf_matches_expression_formulation(spark, tmp_path_factory):
             ).collect()
         }
         assert expr == udf
+
+
+def test_span_exact_planted_coverage(spark, planted_dir):
+    """Exact dup pair ⇒ every 5-gram duplicated (frac 1.0); unique
+    docs ⇒ zero duplicated grams; the 1-word-edit near-dup sits
+    strictly between."""
+    rows = {r["doc_id"]: r for r in D.dedup_span_exact(spark, planted_dir).collect()}
+    for doc in (100, 101):
+        assert rows[doc]["dup_token_frac"] == 1.0
+        assert rows[doc]["n_dup_grams"] == rows[doc]["n_grams"] > 0
+    for doc in range(10):
+        assert rows[doc]["n_dup_grams"] == 0
+        assert rows[doc]["dup_token_frac"] == 0.0
+    frac102 = rows[102]["dup_token_frac"]
+    assert 0.0 < frac102 < 1.0
+    for r in rows.values():
+        assert 0 <= r["n_dup_tokens"] <= r["n_tokens"]
+        assert r["n_dup_grams"] <= r["n_grams"]
+
+
+def test_bloom_prefilter_never_false_negative(spark, sf_small):
+    """Bloom membership has no false negatives by construction: every
+    digest actually in the corpus must be a bloom hit, and the status
+    column must never report the impossible arm."""
+    out = D.dedup_bloom_prefilter(spark, sf_small).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["status"] != "false_negative"
+        if r["in_corpus"]:
+            assert r["bloom_hit"]
+        if r["status"] == "true_negative":
+            assert not r["bloom_hit"] and not r["in_corpus"]

@@ -139,3 +139,17 @@ def test_next_transition_probabilities_sum_to_one(spark, sf_small):
         total = sum(r["prob"] for r in group)
         assert abs(total - 1.0) < 1e-9, from_type
         assert all(r["n"] >= 1 for r in group)
+
+
+def test_cms_heavy_hitters_overcounts_only(spark, sf_small):
+    """CMS estimates are an upper bound on the exact count — a single
+    undercount is an implementation bug, not sketch error."""
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_heavy_hitters,
+    )
+
+    rows = events_heavy_hitters(spark, sf_small).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"] > 0
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
