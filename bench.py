@@ -46,6 +46,9 @@ HEADLINE = [
     "text_bigram_lm_score",  # r3: bigram-cohesion LM proxy
     "events_dedup_redelivery",  # r3: keep-earliest exactly-once reconciliation
     "mm_decode_features",  # r3: real WAV+PPM codecs over Arrow mapInPandas
+    "dedup_span_exact",  # late r3: substring-level repeated-span coverage
+    "events_heavy_hitters",  # late r3: count-min-sketch top-K estimates
+    "sim_semantic_dedup",  # late r3: k-means-cell-bucketed embedding dedup
 ]
 
 

@@ -98,6 +98,7 @@ _VERIFY_FIRST = [
     "dedup_span_exact",
     "dedup_bloom_prefilter",
     "events_heavy_hitters",
+    "sim_semantic_dedup",
 ]
 _STABLE_TAIL = [
     # rotated out for mm_frame_stats (late r3): r2-green, its

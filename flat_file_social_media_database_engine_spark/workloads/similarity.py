@@ -1558,3 +1558,85 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): k-means cells as dedup buckets —
+# candidate pairs only WITHIN a cell, exact cosine verification on
+# survivors. The cluster-then-compare shape from the public SemDeDup
+# work (Abbas et al., 2023): at 100 TB you cannot all-pairs the
+# corpus, but you can all-pairs each bounded cell.
+# ---------------------------------------------------------------------------
+def _semantic_dedup_oracle() -> str:
+    ctes, final_c = _kmeans_ctes()
+    d2 = _km_d2_sql("b.v", "c.v")
+    cos = f"{_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm)"
+    return f"""
+    WITH {ctes},
+    asn AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT b.vec_id, c.cid AS cell, b.v, {d2} AS d2,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM base b CROSS JOIN {final_c} c
+      ) WHERE rn = 1
+    ),
+    n AS (
+      SELECT vec_id, cell, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM asn
+    )
+    SELECT CAST(a.cell AS BIGINT) AS cell,
+           a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           {cos} AS cosine
+    FROM n a JOIN n b ON b.cell = a.cell AND a.vec_id < b.vec_id
+    WHERE {cos} >= {NEARDUP_COSINE}
+    """
+
+
+@query("sim_semantic_dedup", oracle=_semantic_dedup_oracle())
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs bucketed by TRAINED k-means cell: the
+    same Lloyd's quantizer as `sim_kmeans_assign` partitions the
+    corpus, candidate pairs form only inside a cell, and the exact
+    sequential-fold cosine keeps survivors at >= NEARDUP_COSINE. Its
+    pairs are a SUBSET of `sim_neardup_cosine`'s with bit-identical
+    cosines (containment pinned in pytest) — the recall/cost knob is
+    K: more cells = smaller buckets = fewer candidates.
+
+    Scale posture: assignment is the map-only broadcast argmin
+    (`_km_assign`); the self-join shuffles on `cell`, and each cell's
+    pair count is quadratic only in CELL size, which the trainer
+    bounds by scaling K with N (K here is the fixture-sized 8; the
+    100 TB job picks K ~ N/target_cell and the same plan holds —
+    candidates grow ~N, never N^2). The assigned table materializes
+    once (persist DISK_ONLY + count barrier) so the join's two
+    branches read cached blocks instead of re-running the trainer."""
+    from ..plans.materialize import materialize
+
+    base, cents = _kmeans_train(spark, sf_dir)
+    withn = materialize(
+        _km_assign(base, cents).select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "v",
+            F.sqrt(_norm2("v")).alias("nrm"),
+        )
+    )
+    a = withn.select(
+        "cell",
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        "cell",
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("cell", "vec_id_a", "vec_id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )

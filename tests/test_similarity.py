@@ -271,3 +271,24 @@ def test_ivfpq_recall_vs_bruteforce(spark):
     recall = len(truth & got) / len(truth)
     assert len(got) == S.N_QUERIES * S.TOP_K
     assert recall >= 0.70, f"ivfpq recall {recall}"
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark, sf_small):
+    """SemDeDup's cell bucketing may MISS cross-cell pairs but must
+    never invent one: its pairs are a subset of the exact all-pairs
+    baseline with bit-identical cosines."""
+    from flat_file_social_media_database_engine_spark.workloads.similarity import (
+        sim_neardup_cosine,
+        sim_semantic_dedup,
+    )
+
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in sim_neardup_cosine(spark, sf_small).collect()
+    }
+    sem = sim_semantic_dedup(spark, sf_small).collect()
+    assert len(sem) > 0
+    for r in sem:
+        key = (r["vec_id_a"], r["vec_id_b"])
+        assert key in exact
+        assert r["cosine"] == exact[key]
