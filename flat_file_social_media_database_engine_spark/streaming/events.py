@@ -257,3 +257,40 @@ def attribution_join_stream(
         "purchase_ts",
         "click_ts",
     )
+
+
+def cms_sketch_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``events_heavy_hitters``'s sketch side:
+    per-1-hour-window count-min counters (window_start, d, w, cnt).
+
+    CMS is LINEAR — the global sketch is the element-wise sum of the
+    per-window sketches — so an always-on pipeline emits bounded
+    watermarked window sketches (state: d*w counters per open window,
+    dropped at window_end + watermark) and any reader folds the
+    windows it cares about into one sketch; the batch-equivalence
+    test pins exactly that fold against the batch query's counters."""
+    from ..workloads.eventflow import CMS_D, _cms_bucket
+
+    cells = events.withWatermark("ts", watermark).select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        _cms_bucket(F.col("user_id"), j).alias("w"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        cells.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("cell.d").alias("d"),
+            F.col("cell.w").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "d", "w", "cnt")
+    )

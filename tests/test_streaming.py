@@ -497,3 +497,48 @@ def test_exactly_once_ingest_into_snapshot_store(spark, tmp_path):
     # Markers survive unrelated commits (meta carries forward).
     store.compact("events")
     assert store.meta()["stream::t::events"] == last + 1
+
+
+def test_cms_sketch_stream_folds_to_batch_sketch(spark):
+    """CMS linearity: summing the streaming per-window counters over
+    all windows must equal the batch global sketch the heavy-hitters
+    query probes — so streaming estimates are the batch estimates."""
+    from pyspark.sql import functions as F
+
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        CMS_D,
+        _cms_bucket,
+    )
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    stream = SE.read_events_stream(spark, SF)
+    folded = (
+        _run_stream(spark, SE.cms_sketch_stream(stream), "t_cms")
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ev = read_table(spark, SF, "events")
+    batch = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("d"),
+                            _cms_bucket(F.col("user_id"), j).alias("w"),
+                        )
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.d", "cell.w")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    g = {tuple(r) for r in folded.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
+    assert len(g) > 0
