@@ -99,6 +99,7 @@ _VERIFY_FIRST = [
     "dedup_bloom_prefilter",
     "events_heavy_hitters",
     "sim_semantic_dedup",
+    "dedup_graph_stats",
 ]
 _STABLE_TAIL = [
     # rotated out for mm_frame_stats (late r3): r2-green, its
@@ -185,6 +186,12 @@ _STABLE_TAIL = [
     "pipeline_clean_corpus",
     "sample_stratified",
     "docs_pack_sequences",
+    # rotated out for dedup_graph_stats: r2-green, pure-compute
+    # mutation (operators/mutations.py untouched this round — the r3
+    # snapshot-store changes don't sit on its path), bench-tracked
+    # per round; the M-family's store-touching members (m2/m3/m4/m5)
+    # all stay in-window
+    "m1_apply_price_deltas",
 ]
 
 

@@ -1047,3 +1047,94 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph statistics: edges are the VERIFIED LSH pairs, so this
+# composes on the shared pair materialization like dedup_clusters.
+# Triangle counting is the classic distributed graph primitive
+# (oriented-edge join-join, each triangle counted exactly once);
+# wedges + global clustering coefficient characterize how "clumpy"
+# the duplicate structure is — chains dedup very differently from
+# cliques, and this one row tells an operator which corpus they have.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_graph_stats",
+    oracle=f"""
+    {_lsh_pairs_ctes()},
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM lsh_pairs
+    ),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS id FROM edges UNION ALL SELECT b AS id FROM edges)
+      GROUP BY id
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT sum(d * (d - 1)) FROM deg) AS BIGINT) // 2 AS n_wedges,
+           (SELECT n FROM tri) AS n_triangles,
+           CASE WHEN (SELECT sum(d * (d - 1)) FROM deg) // 2 > 0
+                THEN (3 * (SELECT n FROM tri))
+                     / ((SELECT sum(d * (d - 1)) FROM deg) // 2)
+                ELSE 0.0 END AS clustering_coeff
+    """,
+)
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structure profile of the verified near-dup graph:
+    edge/node/wedge/triangle counts + global clustering coefficient
+    (3*triangles/wedges, exact integer inputs so the double divides
+    bit-equal across engines; 0.0 on a wedge-free graph).
+
+    Triangles use the oriented-edge formulation: pairs are already
+    stored a < b, so joining e1(a,b)->e2(b,c) builds each a<b<c path
+    once and the closing-edge join counts each triangle EXACTLY once
+    — no /6 correction pass, no undirected blowup. Scale posture: the
+    edge set is the LSH-bounded shared materialization (collision
+    sets, not corpus); both joins key on node ids. Id-orientation can
+    skew on hub nodes — the standard refinement at real scale is
+    degree-ordering the orientation ((deg, id) instead of id), which
+    bounds every node's out-neighborhood by sqrt(edges); the join
+    shape is identical, so the swap is a key change, not a replan."""
+    pairs = lsh_pairs_shared(spark, sf_dir).select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    )
+    deg = (
+        pairs.select(F.col("a").alias("id"))
+        .unionAll(pairs.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = pairs.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = pairs.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
+    e3 = pairs.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    edge_stats = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+    )
+    return (
+        edge_stats.crossJoin(node_stats)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (3 * F.col("n_triangles")) / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

@@ -177,3 +177,14 @@ def test_bloom_prefilter_never_false_negative(spark, sf_small):
             assert r["bloom_hit"]
         if r["status"] == "true_negative":
             assert not r["bloom_hit"] and not r["in_corpus"]
+
+
+def test_graph_stats_planted_triangle(spark, planted_dir):
+    """100/101 (exact dups) and 102 (1-word edit) form a near-dup
+    triangle; every triangle contributes exactly 3 wedges, so the
+    counts must satisfy the structural inequality."""
+    row = D.dedup_graph_stats(spark, planted_dir).collect()[0]
+    assert row["n_triangles"] >= 1
+    assert row["n_wedges"] >= 3 * row["n_triangles"]
+    assert row["n_edges"] >= 3
+    assert 0.0 < row["clustering_coeff"] <= 1.0
