@@ -188,3 +188,66 @@ def test_graph_stats_planted_triangle(spark, planted_dir):
     assert row["n_wedges"] >= 3 * row["n_triangles"]
     assert row["n_edges"] >= 3
     assert 0.0 < row["clustering_coeff"] <= 1.0
+
+
+def _span_model(texts, k):
+    """Pure-Python model of dedup_span_exact. Token semantics mirror
+    the engine's pinned rules: trim strips SPACES only, ``\\s`` is the
+    ASCII class, split keeps empty fields (Java limit=-1)."""
+    import re
+
+    toks = [re.split(r"\s+", t.strip(" "), flags=re.ASCII) for t in texts]
+    grams_per_doc = [
+        [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        if len(tk) >= k
+        else []
+        for tk in toks
+    ]
+    counts: dict = {}
+    for gs in grams_per_doc:
+        for g in gs:
+            counts[g] = counts.get(g, 0) + 1
+    out = {}
+    for d, (tk, gs) in enumerate(zip(toks, grams_per_doc)):
+        n_dup = sum(1 for g in gs if counts[g] >= 2)
+        cov: set = set()
+        for i, g in enumerate(gs):
+            if counts[g] >= 2:
+                cov.update(range(i, i + k))
+        out[d] = (len(tk), len(gs), n_dup, len(cov), len(cov) / len(tk))
+    return out
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_doc_text = st.text(alphabet="ab \t", min_size=0, max_size=48)
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_exact_matches_model(spark, tmp_path_factory, texts):
+    """Differential vs the pure-Python model on adversarial
+    whitespace corpora (tiny alphabet forces real cross-doc gram
+    collisions)."""
+    d = tmp_path_factory.mktemp("spanprop")
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_grams"],
+            r["n_dup_grams"],
+            r["n_dup_tokens"],
+            r["dup_token_frac"],
+        )
+        for r in D.dedup_span_exact(spark, str(d)).collect()
+    }
+    want = _span_model(texts, D.SPAN_K)
+    assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
