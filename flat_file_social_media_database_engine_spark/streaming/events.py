@@ -269,28 +269,11 @@ def cms_sketch_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     dropped at window_end + watermark) and any reader folds the
     windows it cares about into one sketch; the batch-equivalence
     test pins exactly that fold against the batch query's counters."""
-    from ..workloads.eventflow import CMS_D, _cms_bucket
+    from ..workloads.eventflow import cms_cells
 
-    cells = events.withWatermark("ts", watermark).select(
-        "ts",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("d"),
-                        _cms_bucket(F.col("user_id"), j).alias("w"),
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("cell"),
-    )
+    cells = cms_cells(events.withWatermark("ts", watermark), ["ts"])
     return (
-        cells.groupBy(
-            F.window("ts", "1 hour").alias("win"),
-            F.col("cell.d").alias("d"),
-            F.col("cell.w").alias("w"),
-        )
+        cells.groupBy(F.window("ts", "1 hour").alias("win"), "d", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("win.start").alias("window_start"), "d", "w", "cnt")
     )

@@ -874,7 +874,13 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _tokens().alias("toks"))
     n = F.size("toks")
-    grams = (
+    # Gram generation (tokenize + per-position md5) is the expensive
+    # map pass and has THREE consumers (the count agg, and both sides
+    # of the flag-join's downstream stats/cov branches) — materialize
+    # it once (persist DISK_ONLY + count barrier, the module's shared-
+    # intermediate policy) so each consumer reads cached (doc_id, pos,
+    # h) rows instead of re-scanning documents and re-hashing.
+    grams = materialize(
         tok.select(
             "doc_id",
             F.posexplode(
@@ -997,7 +1003,10 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical bitmaps — the oracle differentials the filter itself,
     false positives included, not just the exact confirm."""
     docs = read_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", F.md5(_norm()).alias("digest"))
+    # The md5-digest projection has four consumers (corpus bits,
+    # corpus exact set, batch probes, batch final) — one materialized
+    # pass instead of four scans+digests of the corpus.
+    d = materialize(docs.select("doc_id", F.md5(_norm()).alias("digest")))
     old = d.filter(F.col("doc_id") < N_OLD).select("digest").distinct()
 
     def positions(col: Column) -> Column:
@@ -1078,9 +1087,13 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
            CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
-           CAST((SELECT sum(d * (d - 1)) FROM deg) AS BIGINT) // 2 AS n_wedges,
+           -- COALESCE: sum() over an empty deg set is NULL; an
+           -- edge-free graph must report 0 wedges like every other
+           -- count column, not NULL (Spark side mirrors this).
+           COALESCE(CAST((SELECT sum(d * (d - 1)) FROM deg) AS BIGINT) // 2, 0)
+               AS n_wedges,
            (SELECT n FROM tri) AS n_triangles,
-           CASE WHEN (SELECT sum(d * (d - 1)) FROM deg) // 2 > 0
+           CASE WHEN COALESCE((SELECT sum(d * (d - 1)) FROM deg) // 2, 0) > 0
                 THEN (3 * (SELECT n FROM tri))
                      / ((SELECT sum(d * (d - 1)) FROM deg) // 2)
                 ELSE 0.0 END AS clustering_coeff
@@ -1120,7 +1133,9 @@ def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_stats = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     node_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+        F.coalesce(F.expr("sum(d * (d - 1)) div 2"), F.lit(0).cast("bigint")).alias(
+            "n_wedges"
+        ),
     )
     return (
         edge_stats.crossJoin(node_stats)

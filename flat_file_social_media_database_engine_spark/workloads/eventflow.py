@@ -829,6 +829,27 @@ def _cms_bucket_sql(expr: str, j: str) -> str:
 _CMS_J = ", ".join(str(j) for j in range(CMS_D))
 
 
+def cms_cells(src: DataFrame, keep: list[str]) -> DataFrame:
+    """Fan each row into its CMS_D (d, w) sketch cells, carrying the
+    ``keep`` columns through. THE single definition of the cell
+    derivation — the batch query, the streaming twin
+    (streaming/events.py::cms_sketch_stream), and the equivalence
+    test all call this, so the sketch geometry cannot silently
+    diverge between them."""
+    uid = F.col("user_id")
+    return src.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("d"), _cms_bucket(uid, j).alias("w"))
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select(*keep, F.col("cell.d").alias("d"), F.col("cell.w").alias("w"))
+
+
 def _cms_oracle() -> str:
     b = _cms_bucket_sql("user_id", "j")
     return f"""
@@ -873,27 +894,12 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth, which is exactly what makes the oracle differential check
     the sketch's collision behavior, not just its happy path)."""
     events = read_table(spark, sf_dir, "events")
-    uid = F.col("user_id")
-
-    def cells(src: DataFrame, keep: list[str]) -> DataFrame:
-        return src.select(
-            *keep,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("d"), _cms_bucket(uid, j).alias("w")
-                        )
-                        for j in range(CMS_D)
-                    ]
-                )
-            ).alias("cell"),
-        ).select(*keep, F.col("cell.d").alias("d"), F.col("cell.w").alias("w"))
-
-    cms = cells(events, []).groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    cms = cms_cells(events, []).groupBy("d", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(CMS_TOPK)
-    probes = cells(top, ["user_id", "exact_cnt"])
+    probes = cms_cells(top, ["user_id", "exact_cnt"])
     return (
         probes.join(F.broadcast(cms), ["d", "w"])
         .groupBy("user_id", "exact_cnt")

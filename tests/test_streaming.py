@@ -506,8 +506,7 @@ def test_cms_sketch_stream_folds_to_batch_sketch(spark):
     from pyspark.sql import functions as F
 
     from flat_file_social_media_database_engine_spark.workloads.eventflow import (
-        CMS_D,
-        _cms_bucket,
+        cms_cells,
     )
     from flat_file_social_media_database_engine_spark.sources.catalog import (
         read_table,
@@ -521,20 +520,7 @@ def test_cms_sketch_stream_folds_to_batch_sketch(spark):
     )
     ev = read_table(spark, SF, "events")
     batch = (
-        ev.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("d"),
-                            _cms_bucket(F.col("user_id"), j).alias("w"),
-                        )
-                        for j in range(CMS_D)
-                    ]
-                )
-            ).alias("cell")
-        )
-        .select("cell.d", "cell.w")
+        cms_cells(ev, [])
         .groupBy("d", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
