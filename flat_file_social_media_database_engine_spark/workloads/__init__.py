@@ -100,6 +100,7 @@ _VERIFY_FIRST = [
     "events_heavy_hitters",
     "sim_semantic_dedup",
     "dedup_graph_stats",
+    "docs_strip_dup_spans",
 ]
 _STABLE_TAIL = [
     # rotated out for mm_frame_stats (late r3): r2-green, its
@@ -192,6 +193,10 @@ _STABLE_TAIL = [
     # per round; the M-family's store-touching members (m2/m3/m4/m5)
     # all stay in-window
     "m1_apply_price_deltas",
+    # rotated out for docs_strip_dup_spans: r2-green, its loader path
+    # (sources/csv_source.py) untouched this round, and the P6/P7
+    # trim+strict-cast rules stay pinned by the loader property suite
+    "p6_p7_trim_strict_cast",
 ]
 
 

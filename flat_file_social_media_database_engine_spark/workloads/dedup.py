@@ -808,11 +808,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SPAN_K = 5  # token width of the exact-match span unit
 
-
-@query(
-    "dedup_span_exact",
-    oracle=f"""
-    WITH tok AS (
+# The shared CTE chain of the span family (tokens → positional gram
+# hashes → corpus-wide counts → flagged occurrences) — both span
+# queries' oracles compose on `j` exactly like their Spark sides
+# compose on the one materialized gram pass.
+_SPAN_CTES = f"""
+    tok AS (
       SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
     ),
     g AS (
@@ -828,8 +829,51 @@ SPAN_K = 5  # token width of the exact-match span unit
       SELECT h, CAST(count(*) AS BIGINT) AS c FROM gh GROUP BY h
     ),
     j AS (
-      SELECT doc_id, pos, c FROM gh JOIN cnt USING (h)
-    ),
+      SELECT doc_id, pos, h, c FROM gh JOIN cnt USING (h)
+    )"""
+
+_SPAN_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE materialized positional-gram pass the span family
+    shares: (doc_id, pos, h), cached per (application, sf_dir) like
+    ``_shingle_arrays``. Gram generation (tokenize + per-position
+    md5) is the expensive map stage and has multiple consumers in
+    each query (count agg + both sides of the flag join) and multiple
+    query consumers (stats + strip) — one persist(DISK_ONLY)+count
+    pass serves them all."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SPAN_GRAMS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    grams = materialize(
+        tok.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    n >= SPAN_K,
+                    F.transform(
+                        F.sequence(F.lit(1), n - SPAN_K + 1),
+                        lambda i: _h60(
+                            F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_K))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("pos0", "h"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    _SPAN_GRAMS_CACHE[key] = grams
+    return grams
+
+
+@query(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH {_SPAN_CTES},
     stats AS (
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_grams,
@@ -874,29 +918,7 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _tokens().alias("toks"))
     n = F.size("toks")
-    # Gram generation (tokenize + per-position md5) is the expensive
-    # map pass and has THREE consumers (the count agg, and both sides
-    # of the flag-join's downstream stats/cov branches) — materialize
-    # it once (persist DISK_ONLY + count barrier, the module's shared-
-    # intermediate policy) so each consumer reads cached (doc_id, pos,
-    # h) rows instead of re-scanning documents and re-hashing.
-    grams = materialize(
-        tok.select(
-            "doc_id",
-            F.posexplode(
-                F.when(
-                    n >= SPAN_K,
-                    F.transform(
-                        F.sequence(F.lit(1), n - SPAN_K + 1),
-                        lambda i: _h60(
-                            F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_K))
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<bigint>"))
-            ).alias("pos0", "h"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    )
+    grams = _span_grams(spark, sf_dir)
     cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     j = grams.join(cnt, "h")
     stats = j.groupBy("doc_id").agg(
@@ -1151,5 +1173,115 @@ def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.lit(0.0))
             .alias("clustering_coeff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span REMOVAL — the rewrite that completes the span family:
+# every duplicated gram keeps exactly ONE canonical occurrence (the
+# corpus-wide lowest (doc_id, pos)); token positions covered only by
+# non-canonical occurrences are cut, and the document is re-emitted
+# without them. Cleaned text is whitespace-NORMALIZED by contract
+# (tokens re-joined with single spaces) — the tokenizer is lossy on
+# whitespace runs by design, both engines agree exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "docs_strip_dup_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    nc AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, c,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM j
+      ) WHERE c >= 2 AND rn > 1
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p
+      FROM nc
+    ),
+    tp AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
+      FROM tok
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.p, tp.toks[tp.p] AS tk
+      FROM tp LEFT JOIN rem ON rem.doc_id = tp.doc_id AND rem.p = tp.p
+      WHERE rem.p IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             array_to_string(list(tk ORDER BY p), ' ') AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(a.cleaned_text, '') AS cleaned_text
+    FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut duplicated spans out of every document, keeping one
+    canonical occurrence per gram corpus-wide: (doc_id, n_tokens,
+    n_removed, cleaned_text).
+
+    Semantics: for each gram hash occurring >= 2 times, the lowest
+    (doc_id, pos) occurrence is canonical; every token position
+    covered by a NON-canonical occurrence is removed. A canonical
+    span overlapping a removed region keeps only its uncovered
+    positions — the contract is positional, not span-atomic, which
+    keeps it a pure composition of window + anti-join (no interval
+    merging) and therefore identical in both engines.
+
+    Scale posture, on top of the shared materialized gram pass: the
+    canonical choice is ONE window over the (h)-partitioned flagged
+    occurrences (same key as the count shuffle — AQE reuses the
+    exchange); removal positions are a bounded <= SPAN_K-x explode of
+    non-canonical occurrences only; the rewrite itself is a per-doc
+    anti-join + ordered fold, shuffling (doc_id, pos, token) — the
+    corpus once, which is the floor for a query whose OUTPUT is the
+    rewritten corpus."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _tokens().alias("toks"))
+    grams = _span_grams(spark, sf_dir)
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    j = grams.join(cnt, "h")
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    nc = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("c") >= 2) & (F.col("rn") > 1))
+        .select("doc_id", "pos")
+    )
+    rem = nc.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("p"),
+    ).distinct()
+    tp = tok.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tk")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tk")
+    kept = tp.join(rem, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                lambda s: s["tk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    n = F.size("toks").cast("bigint")
+    return (
+        tok.select("doc_id", n.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )

@@ -251,3 +251,20 @@ def test_span_exact_matches_model(spark, tmp_path_factory, texts):
     }
     want = _span_model(texts, D.SPAN_K)
     assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
+
+
+def test_strip_dup_spans_keeps_canonical(spark, planted_dir):
+    """Doc 100 is the canonical copy (lowest doc_id): it keeps every
+    token; its exact dup 101 is fully stripped; the 1-word-edit 102
+    loses only the spans duplicated with 100; removal never exceeds
+    the span-stats coverage (canonical occurrences are spared)."""
+    strip = {r["doc_id"]: r for r in D.docs_strip_dup_spans(spark, planted_dir).collect()}
+    stats = {r["doc_id"]: r for r in D.dedup_span_exact(spark, planted_dir).collect()}
+    assert strip[100]["n_removed"] == 0
+    assert strip[101]["n_removed"] == strip[101]["n_tokens"]
+    assert strip[101]["cleaned_text"] == ""
+    assert 0 < strip[102]["n_removed"] < strip[102]["n_tokens"]
+    for doc, r in strip.items():
+        assert 0 <= r["n_removed"] <= stats[doc]["n_dup_tokens"]
+        kept = r["n_tokens"] - r["n_removed"]
+        assert len(r["cleaned_text"].split(" ")) == kept or (kept == 0 and r["cleaned_text"] == "")
