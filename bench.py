@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_span_exact",  # late r3: substring-level repeated-span coverage
     "events_heavy_hitters",  # late r3: count-min-sketch top-K estimates
     "sim_semantic_dedup",  # late r3: k-means-cell-bucketed embedding dedup
+    "docs_strip_dup_spans",  # late r3: canonical-keep span removal (corpus rewrite)
+    "pipeline_dedup_corpus",  # late r3: quality->dedup->strip->budget, one plan
 ]
 
 

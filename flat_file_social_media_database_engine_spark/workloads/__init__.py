@@ -101,6 +101,7 @@ _VERIFY_FIRST = [
     "sim_semantic_dedup",
     "dedup_graph_stats",
     "docs_strip_dup_spans",
+    "pipeline_dedup_corpus",
 ]
 _STABLE_TAIL = [
     # rotated out for mm_frame_stats (late r3): r2-green, its
@@ -197,6 +198,11 @@ _STABLE_TAIL = [
     # (sources/csv_source.py) untouched this round, and the P6/P7
     # trim+strict-cast rules stay pinned by the loader property suite
     "p6_p7_trim_strict_cast",
+    # rotated out for pipeline_dedup_corpus: r2-green; its only r3
+    # change is the shared localCheckpoint->materialize swap, which
+    # every in-window dedup_* query exercises through the same
+    # plans/materialize.py path
+    "text_commonness_score",
 ]
 
 

@@ -1285,3 +1285,154 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone composition: the front half of a real training-data build
+# in ONE plan — quality floor -> exact keep-first dedup -> repeated-
+# span removal (counts computed over SURVIVORS only, so dropped dups
+# don't inflate span counts) -> per-source token budget. Stage order
+# is the optimization: the quality filter rides the scan, dedup cuts
+# the corpus before the gram shuffle, and the span pass prices what
+# actually ships.
+# ---------------------------------------------------------------------------
+_PIPE_MIN_TOKENS = 20
+_PIPE_MIN_UNIQ = 0.30
+
+
+@query(
+    "pipeline_dedup_corpus",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             md5({_NORM_SQL}) AS digest
+      FROM (SELECT doc_id, source, text FROM documents) d
+      JOIN tok0 USING (doc_id, source)
+    ),
+    q AS (
+      SELECT * FROM m
+      WHERE n_tokens >= {_PIPE_MIN_TOKENS}
+        AND n_uniq / n_tokens >= {_PIPE_MIN_UNIQ}
+    ),
+    kept AS (
+      SELECT q.* FROM q
+      JOIN (SELECT digest, min(doc_id) AS keep_id FROM q GROUP BY digest) k
+        ON k.digest = q.digest AND k.keep_id = q.doc_id
+    ),
+    g AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {SPAN_K} + 2)) AS pos, toks
+      FROM kept WHERE len(toks) >= {SPAN_K}
+    ),
+    gh AS (
+      SELECT doc_id, pos,
+             {_h60_sql(f"array_to_string(toks[pos:pos+{SPAN_K - 1}], ' ')")} AS h
+      FROM g
+    ),
+    cnt AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS c FROM gh GROUP BY h
+    ),
+    nc AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, c,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM gh JOIN cnt USING (h)
+      ) WHERE c >= 2 AND rn > 1
+    ),
+    cov AS (
+      SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_removed
+      FROM (SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p FROM nc)
+      GROUP BY doc_id
+    )
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k.n_tokens) AS BIGINT) AS n_tokens_raw,
+           CAST(sum(COALESCE(cov.n_removed, 0)) AS BIGINT) AS n_tokens_stripped,
+           CAST(sum(k.n_tokens) - sum(COALESCE(cov.n_removed, 0)) AS BIGINT)
+               AS n_tokens_final,
+           CAST(sum(k.n_tokens) - sum(COALESCE(cov.n_removed, 0)) AS BIGINT)
+               / CAST(sum(k.n_tokens) AS BIGINT) AS keep_frac
+    FROM kept k LEFT JOIN cov ON cov.doc_id = k.doc_id
+    GROUP BY k.source
+    """,
+)
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget after quality floor + exact keep-first
+    dedup + repeated-span removal over the surviving corpus:
+    (source, n_docs, n_tokens_raw, n_tokens_stripped, n_tokens_final,
+    keep_frac).
+
+    Composition notes (scale order is the point):
+    - the quality floor is a map-side predicate on the scan;
+    - exact dedup groups survivors on their md5 digest (first-wins),
+      cutting the corpus BEFORE any gram work;
+    - span counts come from the SHARED cached gram pass semi-joined
+      to survivors — a gram occurrence inside a dropped duplicate no
+      longer exists, so counts price exactly what ships (and the
+      cache means this query never re-tokenizes);
+    - canonical-keep removal is the same window-over-h shape as
+      ``docs_strip_dup_spans``; the final per-source rollup is one
+      map-side-combined aggregation of integer counts, so keep_frac
+      divides identical bigints in both engines."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.md5(_norm()).alias("digest"),
+    )
+    q = m.filter(
+        (F.col("n_tokens") >= _PIPE_MIN_TOKENS)
+        & (F.col("n_uniq") / F.col("n_tokens") >= _PIPE_MIN_UNIQ)
+    )
+    keep_ids = q.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    # kept has two consumers (the gram semi-join and the final
+    # rollup), and each would otherwise re-run the scan + digest +
+    # first-wins join — materialize the (doc_id, source, n_tokens)
+    # survivor table once; it is dedup-output-sized, not corpus-sized.
+    kept = materialize(
+        q.join(keep_ids, ["digest", "doc_id"]).select(
+            "doc_id", "source", "n_tokens"
+        )
+    )
+    grams = _span_grams(spark, sf_dir).join(
+        kept.select("doc_id"), "doc_id", "left_semi"
+    )
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    nc = (
+        grams.join(cnt, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("c") >= 2) & (F.col("rn") > 1))
+        .select("doc_id", "pos")
+    )
+    cov = (
+        nc.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    raw = F.sum("n_tokens")
+    stripped = F.sum(F.coalesce("n_removed", F.lit(0)))
+    return (
+        kept.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            raw.alias("n_tokens_raw"),
+            stripped.alias("n_tokens_stripped"),
+            (raw - stripped).alias("n_tokens_final"),
+            ((raw - stripped) / raw).alias("keep_frac"),
+        )
+    )

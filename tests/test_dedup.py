@@ -268,3 +268,67 @@ def test_strip_dup_spans_keeps_canonical(spark, planted_dir):
         assert 0 <= r["n_removed"] <= stats[doc]["n_dup_tokens"]
         kept = r["n_tokens"] - r["n_removed"]
         assert len(r["cleaned_text"].split(" ")) == kept or (kept == 0 and r["cleaned_text"] == "")
+
+
+def _strip_model(texts, k):
+    """Pure-Python model of docs_strip_dup_spans (canonical-keep)."""
+    import re
+
+    toks = [re.split(r"\s+", t.strip(" "), flags=re.ASCII) for t in texts]
+    occ: dict = {}
+    for d, tk in enumerate(toks):
+        if len(tk) >= k:
+            for i in range(len(tk) - k + 1):
+                occ.setdefault(" ".join(tk[i : i + k]), []).append((d, i))
+    removed = [set() for _ in toks]
+    for g, os_ in occ.items():
+        if len(os_) >= 2:
+            for d, i in sorted(os_)[1:]:
+                removed[d].update(range(i, i + k))
+    out = {}
+    for d, tk in enumerate(toks):
+        kept = [t for i, t in enumerate(tk) if i not in removed[d]]
+        out[d] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_strip_dup_spans_matches_model(spark, tmp_path_factory, texts):
+    """Differential vs the canonical-keep model on adversarial
+    whitespace corpora — the window tie-break, positional removal,
+    and whitespace-normalized rejoin must all match exactly."""
+    d = tmp_path_factory.mktemp("stripprop")
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in D.docs_strip_dup_spans(spark, str(d)).collect()
+    }
+    want = _strip_model(texts, D.SPAN_K)
+    assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
+
+
+def test_pipeline_dedup_corpus_consistent_with_components(spark, sf_small):
+    """The capstone's survivor count must equal the standalone
+    quality+dedup query's output rows (identical floors and
+    keep-first rule), and its token accounting must balance."""
+    from flat_file_social_media_database_engine_spark.workloads.text import (
+        pipeline_clean_corpus,
+    )
+
+    rows = D.pipeline_dedup_corpus(spark, sf_small).collect()
+    assert len(rows) > 0
+    assert sum(r["n_docs"] for r in rows) == pipeline_clean_corpus(
+        spark, sf_small
+    ).count()
+    for r in rows:
+        assert r["n_tokens_final"] == r["n_tokens_raw"] - r["n_tokens_stripped"]
+        assert 0 <= r["n_tokens_stripped"] <= r["n_tokens_raw"]
+        assert 0.0 < r["keep_frac"] <= 1.0
