@@ -166,8 +166,10 @@ _STABLE_TAIL = [
     # rotated out for the late-r3 additions (tfidf / pii_scrub /
     # chunk_overlap / next_transition): all r2-green, unchanged r3.
     # The scan+broadcast-agg shapes of the two TPC-H-style rollups are
-    # bench-tracked per round; langid/bpe are map-only projections
-    # whose shape stays in-window via text_quality_score.
+    # bench-tracked per round; langid/bpe are map-only projections.
+    # (text_commonness_score, the one r3-modified text.py query, was
+    # later rotated to the tail too — see its own entry below for the
+    # rationale.)
     "q_pricing_summary",
     "q_region_revenue",
     "text_langid",
@@ -179,11 +181,12 @@ _STABLE_TAIL = [
     # rotated out for the three late-r3 additions (span dedup / bloom
     # prefilter / CMS heavy hitters): all r2-green and their code
     # paths untouched since (text.py's r3 diff modified only
-    # text_commonness_score, which stays in-window; these three are
-    # map-only or single-shuffle text/sampling shapes whose plan
-    # families remain in-window via text_bigram_lm_score,
-    # sample_train_split, and docs_chunk_overlap). text_quality_score
-    # additionally stays bench-tracked per round.
+    # text_commonness_score — itself later rotated to the tail, see
+    # its entry below; these three are map-only or single-shuffle
+    # text/sampling shapes whose plan families remain in-window via
+    # text_bigram_lm_score, sample_train_split, and
+    # docs_chunk_overlap). text_quality_score additionally stays
+    # bench-tracked per round.
     "text_quality_score",
     "pipeline_clean_corpus",
     "sample_stratified",

@@ -54,7 +54,15 @@ from ..operators.graph import connected_components
 from ..plans.materialize import materialize
 from ..sources.catalog import read_table
 from . import query
-from .text import _TOKENS_SQL, _tokens
+# The capstone's quality floor is BY CONTRACT pipeline_clean_corpus's
+# (the consistency test pins survivor counts against it) — share the
+# constants so retuning text.py moves both queries together.
+from .text import (
+    _CLEAN_MIN_TOKENS as _PIPE_MIN_TOKENS,
+    _CLEAN_MIN_UNIQ as _PIPE_MIN_UNIQ,
+    _TOKENS_SQL,
+    _tokens,
+)
 
 SHINGLE_K = 3  # word-shingle width
 NUM_HASHES = 64  # MinHash signature length
@@ -832,6 +840,46 @@ _SPAN_CTES = f"""
       SELECT doc_id, pos, h, c FROM gh JOIN cnt USING (h)
     )"""
 
+# Canonical-keep removal rule shared by the strip query and the
+# capstone pipeline — composes after CTEs ``gh`` (doc_id, pos, h) and
+# ``cnt`` (h, c). `_noncanonical_removal` below is its Spark twin;
+# the rule (tie-break, threshold, coverage width) lives ONLY here and
+# there.
+_SPAN_REMOVAL_CTES = f"""
+    nc AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, c,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM gh JOIN cnt USING (h)
+      ) WHERE c >= 2 AND rn > 1
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p
+      FROM nc
+    )"""
+
+
+def _noncanonical_removal(grams: DataFrame) -> DataFrame:
+    """Distinct (doc_id, p) token positions covered by NON-canonical
+    duplicated-gram occurrences (canonical = corpus-wide lowest
+    (doc_id, pos) per gram hash) — the single Spark statement of the
+    canonical-keep rule; ``_SPAN_REMOVAL_CTES`` is its SQL twin."""
+    from pyspark.sql import Window
+
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    nc = (
+        grams.join(cnt, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("c") >= 2) & (F.col("rn") > 1))
+        .select("doc_id", "pos")
+    )
+    return nc.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("p"),
+    ).distinct()
+
+
 _SPAN_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1190,17 +1238,7 @@ def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_strip_dup_spans",
     oracle=f"""
     WITH {_SPAN_CTES},
-    nc AS (
-      SELECT doc_id, pos FROM (
-        SELECT doc_id, pos, c,
-               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-        FROM j
-      ) WHERE c >= 2 AND rn > 1
-    ),
-    rem AS (
-      SELECT DISTINCT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p
-      FROM nc
-    ),
+    {_SPAN_REMOVAL_CTES},
     tp AS (
       SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
       FROM tok
@@ -1243,23 +1281,9 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join + ordered fold, shuffling (doc_id, pos, token) — the
     corpus once, which is the floor for a query whose OUTPUT is the
     rewritten corpus."""
-    from pyspark.sql import Window
-
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _tokens().alias("toks"))
-    grams = _span_grams(spark, sf_dir)
-    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    j = grams.join(cnt, "h")
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    nc = (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("c") >= 2) & (F.col("rn") > 1))
-        .select("doc_id", "pos")
-    )
-    rem = nc.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("p"),
-    ).distinct()
+    rem = _noncanonical_removal(_span_grams(spark, sf_dir))
     tp = tok.select(
         "doc_id", F.posexplode("toks").alias("p0", "tk")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "tk")
@@ -1296,10 +1320,6 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus before the gram shuffle, and the span pass prices what
 # actually ships.
 # ---------------------------------------------------------------------------
-_PIPE_MIN_TOKENS = 20
-_PIPE_MIN_UNIQ = 0.30
-
-
 @query(
     "pipeline_dedup_corpus",
     oracle=f"""
@@ -1336,17 +1356,10 @@ _PIPE_MIN_UNIQ = 0.30
     cnt AS (
       SELECT h, CAST(count(*) AS BIGINT) AS c FROM gh GROUP BY h
     ),
-    nc AS (
-      SELECT doc_id, pos FROM (
-        SELECT doc_id, pos, c,
-               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-        FROM gh JOIN cnt USING (h)
-      ) WHERE c >= 2 AND rn > 1
-    ),
+    {_SPAN_REMOVAL_CTES},
     cov AS (
-      SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_removed
-      FROM (SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p FROM nc)
-      GROUP BY doc_id
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+      FROM rem GROUP BY doc_id
     )
     SELECT k.source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -1378,8 +1391,6 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``docs_strip_dup_spans``; the final per-source rollup is one
       map-side-combined aggregation of integer counts, so keep_frac
       divides identical bigints in both engines."""
-    from pyspark.sql import Window
-
     docs = read_table(spark, sf_dir, "documents")
     toks = _tokens()
     m = docs.select(
@@ -1406,20 +1417,8 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _span_grams(spark, sf_dir).join(
         kept.select("doc_id"), "doc_id", "left_semi"
     )
-    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    nc = (
-        grams.join(cnt, "h")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("c") >= 2) & (F.col("rn") > 1))
-        .select("doc_id", "pos")
-    )
     cov = (
-        nc.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("p"),
-        )
-        .distinct()
+        _noncanonical_removal(grams)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_removed"))
     )
