@@ -696,7 +696,9 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate set is nprobe/C of the corpus per query (vs 100% for
 # brute force); at 100 TB the assignment pass becomes the Arrow
 # matmul pandas_udf (see `_signatures`) and the lists are written
-# bucketed by cell so a probe is partition pruning, not a shuffle.
+# bucketed by cell so a probe is partition pruning, not a shuffle
+# (that layout is CODE, not prose: tests/test_bucketed.py pins the
+# cell-bucketed write + SelectedBucketsCount pruning plan property).
 # ---------------------------------------------------------------------------
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4

@@ -83,3 +83,44 @@ def test_bucket_pruning_point_lookup(spark):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS b_orders_prune")
+
+
+def test_ivf_cell_bucketed_layout_prunes_probes(spark):
+    """The IVF docstrings' 100 TB claim, pinned: write embeddings
+    bucketed by their assigned k-means cell and an nprobe-cell probe
+    scans only the matching buckets — partition pruning instead of a
+    shuffle — while returning exactly the unbucketed probe's rows."""
+    from flat_file_social_media_database_engine_spark.workloads.similarity import (
+        KMEANS_NPROBE,
+        _km_assign,
+        _kmeans_train,
+    )
+
+    base, cents = _kmeans_train(spark, SF)
+    assigned = _km_assign(base, cents).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    )
+    write_bucketed(assigned, "b_ivf_cells", "cell", n_buckets=8)
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        lists = read_bucketed(spark, "b_ivf_cells")
+        probe_cells = [0, 1, 2, 3][:KMEANS_NPROBE]
+        probed = lists.filter(F.col("cell").isin(probe_cells))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), plan
+        want = {
+            r["vec_id"]
+            for r in assigned.filter(F.col("cell").isin(probe_cells)).collect()
+        }
+        got = {r["vec_id"] for r in probed.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS b_ivf_cells")
