@@ -332,3 +332,72 @@ def test_pipeline_dedup_corpus_consistent_with_components(spark, sf_small):
         assert r["n_tokens_final"] == r["n_tokens_raw"] - r["n_tokens_stripped"]
         assert 0 <= r["n_tokens_stripped"] <= r["n_tokens_raw"]
         assert 0.0 < r["keep_frac"] <= 1.0
+
+
+def _bloom_model(old_texts, new_rows):
+    """Pure-Python model of dedup_bloom_prefilter: same normalization
+    (trim spaces only, lower, ASCII-\\s collapse), same md5 digests,
+    same 60-bit-prefix bit positions."""
+    import hashlib
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip(" ").lower(), flags=re.ASCII)
+
+    def digest(t):
+        return hashlib.md5(norm(t).encode()).hexdigest()
+
+    def bits_of(dg):
+        return {
+            int(hashlib.md5(f"{dg}|{j}".encode()).hexdigest()[:15], 16) % 4096
+            for j in range(4)
+        }
+
+    corpus = {digest(t) for t in old_texts}
+    bloom = set()
+    for dg in corpus:
+        bloom |= bits_of(dg)
+    out = {}
+    for doc_id, t in new_rows:
+        dg = digest(t)
+        hit = bits_of(dg) <= bloom
+        present = dg in corpus
+        status = (
+            "true_positive"
+            if hit and present
+            else "false_positive"
+            if hit
+            else "false_negative"
+            if present
+            else "true_negative"
+        )
+        out[doc_id] = (hit, present, status)
+    return out
+
+
+@given(
+    old=st.lists(_doc_text, min_size=1, max_size=6),
+    new=st.lists(_doc_text, min_size=1, max_size=6),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_prefilter_matches_model(spark, tmp_path_factory, old, new):
+    """Differential vs the pure-Python Bloom model: corpus docs sit
+    below N_OLD, batch docs above; the filter's exact bit arithmetic
+    (including any false positives) must reproduce."""
+    d = tmp_path_factory.mktemp("bloomprop")
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(old)] + [
+        (D.N_OLD + i, t, "en", "s", len(t)) for i, t in enumerate(new)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["bloom_hit"], r["in_corpus"], r["status"])
+        for r in D.dedup_bloom_prefilter(spark, str(d)).collect()
+    }
+    want = _bloom_model(old, [(D.N_OLD + i, t) for i, t in enumerate(new)])
+    assert got == want, f"\nold={old!r}\nnew={new!r}\ngot={got}\nwant={want}"
