@@ -952,16 +952,30 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _kmeans_train(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """((vec_id, v double-cast base), (cid, v) trained centroids) —
-    the Lloyd loop shared by ``sim_kmeans_assign`` and the
-    kmeans-trained IVF query. The base is materialized ONCE
-    (spill-safe persist + count barrier): the iterative plan
-    otherwise re-scans the base table per round (2 assign sides + 1
-    update join each) — 8 scans for 2 rounds, and at 100 TB each
-    would be a full corpus read."""
+    the Lloyd loop shared by ``sim_kmeans_assign``, the kmeans-trained
+    IVF query, and the semantic-dedup bucketer. The base is
+    materialized ONCE (spill-safe persist + count barrier): the
+    iterative plan otherwise re-scans the base table per round
+    (2 assign sides + 1 update join each) — 8 scans for 2 rounds, and
+    at 100 TB each would be a full corpus read.
+
+    The whole (base, centroids) result is cached per (application,
+    sf_dir) — same policy as ``_shingle_arrays``/``_span_grams`` —
+    so the THREE consumer queries train once per session instead of
+    once each; the trained centroids are materialized too (K rows,
+    trivial) or every consumer would replay the Lloyd joins from the
+    cached base."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KMEANS_CACHE.get(key)
+    if cached is not None:
+        return cached
     from ..plans.materialize import materialize
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1003,6 +1017,8 @@ def _kmeans_train(
             .join(upd.alias("u"), "cid", "left")
             .select("cid", F.coalesce(F.col("u.v"), F.col("c.v")).alias("v"))
         )
+    cents = materialize(cents)
+    _KMEANS_CACHE[key] = (base, cents)
     return base, cents
 
 
