@@ -194,6 +194,27 @@ def _signatures(spark: SparkSession, vecs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-side (vec_id, t, sig) signature table, materialized
+    once per (application, sf_dir) — shared by the three LSH consumers
+    (single-probe top-k, multi-probe top-k, bucketed near-dup), which
+    each previously re-ran the full Arrow matmul pass. Same policy as
+    ``_kmeans_train``'s cache and the dedup tier's shared passes."""
+    from ..plans.materialize import materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sigs = materialize(_signatures(spark, emb, "vec_id"))
+    _SIG_CACHE[key] = sigs
+    return sigs
+
+
 def _lsh_sig_ctes() -> str:
     """Shared oracle CTEs replaying the hyperplane signature pass in
     DuckDB: the 224×64 hyperplane matrix is deterministic source-text
@@ -271,7 +292,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches |candidates| ≪ N rows per query."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
-    sigs = _signatures(spark, base, "vec_id")
+    sigs = _corpus_signatures(spark, sf_dir)
 
     qsig = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "t", "sig"
@@ -394,7 +415,7 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-probe candidate volume."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
-    sigs = _signatures(spark, base, "vec_id")
+    sigs = _corpus_signatures(spark, sf_dir)
 
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -646,14 +667,12 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (table, sig) keys only — bucket sizes are geometric in
     the bit count, so candidates grow ~linearly with N (vs N²) — and
     exact scoring touches only candidates. The signature table is
-    materialized once (persist DISK_ONLY + count barrier, see
-    ``plans.materialize``) so the self-join's two branches read
-    cached blocks instead of running the matmul twice."""
-    from ..plans.materialize import materialize
-
+    materialized once per session (``_corpus_signatures``) so the
+    self-join's two branches — and the sibling LSH top-k queries —
+    read cached blocks instead of running the matmul again."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
-    sigs = materialize(_signatures(spark, base, "vec_id"))
+    sigs = _corpus_signatures(spark, sf_dir)
     cand = (
         sigs.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
         .join(sigs.select("t", "sig", F.col("vec_id").alias("vec_id_b")), ["t", "sig"])
