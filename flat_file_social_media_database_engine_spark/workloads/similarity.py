@@ -1300,6 +1300,26 @@ def _dequantized(emb: DataFrame) -> DataFrame:
     ).select("vec_id", "dv", F.sqrt(_dot("dv", "dv")).alias("dn"))
 
 
+_DEQ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dequantized_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantize→dequantize corpus pass, materialized once per
+    (application, sf_dir) for its two consumers (flat PQ and IVF-PQ)
+    — the codebook stats agg and the per-element dequantize formula
+    run once per session instead of once per query."""
+    from ..plans.materialize import materialize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DEQ_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = materialize(_dequantized(emb))
+    _DEQ_CACHE[key] = d
+    return d
+
+
 @query("sim_topk_pq", oracle=_pq_oracle())
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized cosine top-k: per-dimension (min, max) ranges
@@ -1327,7 +1347,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composed symbolically — identical double ops in identical
     # order, each element O(1).
     emb = read_table(spark, sf_dir, "embeddings")
-    dnorm = _dequantized(emb)
+    dnorm = _dequantized_shared(spark, sf_dir)
     q = dnorm.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("dv").alias("qv"),
@@ -1528,7 +1548,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    dnorm = _dequantized(emb)
+    dnorm = _dequantized_shared(spark, sf_dir)
     lists = (
         asn.filter(F.col("rnk") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
