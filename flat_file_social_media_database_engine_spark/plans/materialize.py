@@ -19,6 +19,8 @@ consumer plan is submitted, so all branches read blocks, not lineage.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
@@ -34,3 +36,34 @@ def materialize(
     out = df.persist(storage_level)
     out.count()
     return out
+
+
+_SESSION_CACHE_LOCK = threading.Lock()
+
+
+def session_cached(cache: dict, spark, sf_dir: str, build):
+    """THE session-cache protocol for shared expensive passes, in one
+    place (shingle arrays, LSH pair set, span grams, k-means
+    quantizer, hyperplane signatures, dequantize table all use it):
+    memoize ``build()`` per (applicationId, sf_dir) under a
+    double-checked lock, so concurrent cold queries — Spark supports
+    thread-pooled job submission and ``queries()`` hands out
+    independent callables — run the pass ONCE instead of racing past
+    the miss and leaking a loser's persisted blocks.
+
+    Entries live for the application lifetime by design: the fixture
+    dirs are immutable (the charter forbids writing /root/testdata),
+    and every test that synthesizes data builds a FRESH tmp dir per
+    case, so a (app, dir) key can never see two datasets. Rewriting
+    parquet under a cached path inside one session is out of
+    contract — callers that need that must use a new directory."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = cache.get(key)
+    if got is not None:
+        return got
+    with _SESSION_CACHE_LOCK:
+        got = cache.get(key)
+        if got is None:
+            got = build()
+            cache[key] = got
+        return got

@@ -51,7 +51,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import connected_components
-from ..plans.materialize import materialize
+from ..plans.materialize import materialize, session_cached
 from ..sources.catalog import read_table
 from . import query
 # The capstone's quality floor is BY CONTRACT pipeline_clean_corpus's
@@ -207,16 +207,15 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the compact one (one row per doc); explode/sizes derive from
     it per consumer — re-exploding cached arrays is cheap, it is the
     tokenize+shingle+distinct pass that must not run twice."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    docs = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sh = materialize(docs.select("doc_id", _shingles_udf()("text").alias("shingles")))
-    _SHINGLE_CACHE[key] = sh
-    return sh
+    def build():
+        docs = read_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return materialize(
+            docs.select("doc_id", _shingles_udf()("text").alias("shingles"))
+        )
+
+    return session_cached(_SHINGLE_CACHE, spark, sf_dir, build)
 
 
 def _doc_shingles(
@@ -526,12 +525,12 @@ def lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     footprint stays small at any scale. ``dedup_minhash_lsh`` itself
     does NOT read this cache: its bench entry measures the real
     pipeline every run."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _LSH_PAIRS_CACHE.get(key)
-    if cached is None:
-        cached = materialize(dedup_minhash_lsh(spark, sf_dir))
-        _LSH_PAIRS_CACHE[key] = cached
-    return cached
+    return session_cached(
+        _LSH_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: materialize(dedup_minhash_lsh(spark, sf_dir)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -891,31 +890,28 @@ def _span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query (count agg + both sides of the flag join) and multiple
     query consumers (stats + strip) — one persist(DISK_ONLY)+count
     pass serves them all."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SPAN_GRAMS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    docs = read_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", _tokens().alias("toks"))
-    n = F.size("toks")
-    grams = materialize(
-        tok.select(
-            "doc_id",
-            F.posexplode(
-                F.when(
-                    n >= SPAN_K,
-                    F.transform(
-                        F.sequence(F.lit(1), n - SPAN_K + 1),
-                        lambda i: _h60(
-                            F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_K))
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        tok = docs.select("doc_id", _tokens().alias("toks"))
+        n = F.size("toks")
+        return materialize(
+            tok.select(
+                "doc_id",
+                F.posexplode(
+                    F.when(
+                        n >= SPAN_K,
+                        F.transform(
+                            F.sequence(F.lit(1), n - SPAN_K + 1),
+                            lambda i: _h60(
+                                F.concat_ws(" ", F.slice(F.col("toks"), i, SPAN_K))
+                            ),
                         ),
-                    ),
-                ).otherwise(F.array().cast("array<bigint>"))
-            ).alias("pos0", "h"),
-        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    )
-    _SPAN_GRAMS_CACHE[key] = grams
-    return grams
+                    ).otherwise(F.array().cast("array<bigint>"))
+                ).alias("pos0", "h"),
+            ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        )
+
+    return session_cached(_SPAN_GRAMS_CACHE, spark, sf_dir, build)
 
 
 @query(

@@ -203,16 +203,15 @@ def _corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single-probe top-k, multi-probe top-k, bucketed near-dup), which
     each previously re-ran the full Arrow matmul pass. Same policy as
     ``_kmeans_train``'s cache and the dedup tier's shared passes."""
-    from ..plans.materialize import materialize
+    from ..plans.materialize import materialize, session_cached
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SIG_CACHE.get(key)
-    if cached is not None:
-        return cached
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sigs = materialize(_signatures(spark, emb, "vec_id"))
-    _SIG_CACHE[key] = sigs
-    return sigs
+    def build():
+        emb = read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        return materialize(_signatures(spark, emb, "vec_id"))
+
+    return session_cached(_SIG_CACHE, spark, sf_dir, build)
 
 
 def _lsh_sig_ctes() -> str:
@@ -991,54 +990,51 @@ def _kmeans_train(
     once each; the trained centroids are materialized too (K rows,
     trivial) or every consumer would replay the Lloyd joins from the
     cached base."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _KMEANS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from ..plans.materialize import materialize
+    from ..plans.materialize import materialize, session_cached
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    base = materialize(
-        emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-    )
-    cents = base.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), "v"
-    )
-    zero_v = F.array_repeat(F.lit(0.0), _DIM)
-    for _ in range(KMEANS_ITERS):
-        asn = _km_assign(base, cents)
-        upd = (
-            asn.groupBy("cell")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
-                ).alias("ms")
+    def build():
+        emb = read_table(spark, sf_dir, "embeddings")
+        base = materialize(
+            emb.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
             )
-            .select(
-                F.col("cell").alias("cid"),
-                F.transform(
-                    F.aggregate(
-                        F.col("ms"),
-                        zero_v,
-                        lambda acc, m: F.zip_with(
-                            acc, m["v"], lambda a, x: a + x
+        )
+        cents = base.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cid"), "v"
+        )
+        zero_v = F.array_repeat(F.lit(0.0), _DIM)
+        for _ in range(KMEANS_ITERS):
+            asn = _km_assign(base, cents)
+            upd = (
+                asn.groupBy("cell")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
+                    ).alias("ms")
+                )
+                .select(
+                    F.col("cell").alias("cid"),
+                    F.transform(
+                        F.aggregate(
+                            F.col("ms"),
+                            zero_v,
+                            lambda acc, m: F.zip_with(
+                                acc, m["v"], lambda a, x: a + x
+                            ),
                         ),
-                    ),
-                    lambda s: s / F.size("ms"),
-                ).alias("v"),
+                        lambda s: s / F.size("ms"),
+                    ).alias("v"),
+                )
             )
-        )
-        cents = (
-            cents.alias("c")
-            .join(upd.alias("u"), "cid", "left")
-            .select("cid", F.coalesce(F.col("u.v"), F.col("c.v")).alias("v"))
-        )
-    cents = materialize(cents)
-    _KMEANS_CACHE[key] = (base, cents)
-    return base, cents
+            cents = (
+                cents.alias("c")
+                .join(upd.alias("u"), "cid", "left")
+                .select("cid", F.coalesce(F.col("u.v"), F.col("c.v")).alias("v"))
+            )
+        return base, materialize(cents)
+
+    return session_cached(_KMEANS_CACHE, spark, sf_dir, build)
 
 
 # ---------------------------------------------------------------------------
@@ -1308,16 +1304,13 @@ def _dequantized_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     (application, sf_dir) for its two consumers (flat PQ and IVF-PQ)
     — the codebook stats agg and the per-element dequantize formula
     run once per session instead of once per query."""
-    from ..plans.materialize import materialize
+    from ..plans.materialize import materialize, session_cached
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _DEQ_CACHE.get(key)
-    if cached is not None:
-        return cached
-    emb = read_table(spark, sf_dir, "embeddings")
-    d = materialize(_dequantized(emb))
-    _DEQ_CACHE[key] = d
-    return d
+    def build():
+        emb = read_table(spark, sf_dir, "embeddings")
+        return materialize(_dequantized(emb))
+
+    return session_cached(_DEQ_CACHE, spark, sf_dir, build)
 
 
 @query("sim_topk_pq", oracle=_pq_oracle())

@@ -106,7 +106,7 @@ def test_ivf_cell_bucketed_layout_prunes_probes(spark):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
         )
         lists = read_bucketed(spark, "b_ivf_cells")
-        probe_cells = [0, 1, 2, 3][:KMEANS_NPROBE]
+        probe_cells = list(range(KMEANS_NPROBE))
         probed = lists.filter(F.col("cell").isin(probe_cells))
         plan = probed._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan, plan
