@@ -51,6 +51,7 @@ HEADLINE = [
     "sim_semantic_dedup",  # late r3: k-means-cell-bucketed embedding dedup
     "docs_strip_dup_spans",  # late r3: canonical-keep span removal (corpus rewrite)
     "pipeline_dedup_corpus",  # late r3: quality->dedup->strip->budget, one plan
+    "events_bitmap_retention",  # late r3: 8-bytes-per-user bitmap retention
 ]
 
 

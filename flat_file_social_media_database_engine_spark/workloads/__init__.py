@@ -102,6 +102,7 @@ _VERIFY_FIRST = [
     "dedup_graph_stats",
     "docs_strip_dup_spans",
     "pipeline_dedup_corpus",
+    "events_bitmap_retention",
 ]
 _STABLE_TAIL = [
     # rotated out for mm_frame_stats (late r3): r2-green, its
@@ -206,6 +207,10 @@ _STABLE_TAIL = [
     # every in-window dedup_* query exercises through the same
     # plans/materialize.py path
     "text_commonness_score",
+    # rotated out for events_bitmap_retention: r2-green; the r3
+    # snapshot-store changes its cascade commits ride on are
+    # exercised in-window by s5_snapshot_roundtrip, m2, m4, and m5
+    "m3_rekey_cascade_orders",
 ]
 
 

@@ -911,3 +911,113 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap cohort retention: per-user activity compressed into ONE
+# 30-bit day mask (bit k = "active on cohort_day + k"), cohort
+# retention derived by bit arithmetic. The production pattern behind
+# roaring-bitmap retention engines: the expensive corpus pass reduces
+# to one bigint per user (bit_or map-side combines like any sum), and
+# every downstream retention/frequency question is popcount math on
+# that compact state — contrast with events_retention's join-based
+# formulation of the same business question.
+# ---------------------------------------------------------------------------
+RETENTION_DAYS = 30
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "events_bitmap_retention",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // {_US_PER_DAY} AS day
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    ),
+    masked AS (
+      SELECT d.user_id, c.cohort_day,
+             bit_or(CAST(1 AS BIGINT) << CAST(d.day - c.cohort_day AS INT))
+                 AS mask
+      FROM days d JOIN cohort c ON c.user_id = d.user_id
+      WHERE d.day - c.cohort_day < {RETENTION_DAYS}
+      GROUP BY d.user_id, c.cohort_day
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(bit_count(mask)) AS BIGINT) AS sum_active_days
+      FROM masked GROUP BY cohort_day
+    ),
+    hits AS (
+      SELECT cohort_day, off, CAST(count(*) AS BIGINT) AS n_retained
+      FROM masked, unnest(range(0, {RETENTION_DAYS})) AS t(off)
+      WHERE ((mask >> off) & 1) = 1
+      GROUP BY cohort_day, off
+    )
+    SELECT h.cohort_day, CAST(h.off AS BIGINT) AS off,
+           s.n_users, s.sum_active_days, h.n_retained,
+           h.n_retained / s.n_users AS retained_frac
+    FROM hits h JOIN sizes s ON s.cohort_day = h.cohort_day
+    """,
+)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention from per-user 30-bit activity masks:
+    (cohort_day, off, n_users, sum_active_days, n_retained,
+    retained_frac) — one row per cohort per active day-offset.
+
+    Scale posture: the corpus-sized work is the distinct
+    (user, day) reduction and the per-user `bit_or` mask — both
+    map-side-combining shuffles keyed on user_id, and the mask state
+    is 8 BYTES per user regardless of event volume (vs the join-based
+    `events_retention`, which shuffles (cohort x offset) pairs).
+    Everything after the per-user reduction operates on one row per
+    user: popcounts and bit probes are O(1) integer ops, and the
+    final per-cohort aggregate is map-side combined. The 30x offset
+    fan-out happens on user-count rows, never event rows."""
+    events = read_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_US_PER_DAY}").alias("day"),
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    from ..plans.materialize import materialize
+
+    # The 8-bytes-per-user mask table has two consumers (cohort sizes
+    # and the offset fan-out) — materialize it so the event-scan +
+    # distinct + bit_or chain runs once.
+    masked = materialize(
+        days.join(cohort, "user_id")
+        .filter(F.col("day") - F.col("cohort_day") < RETENTION_DAYS)
+        .groupBy("user_id", "cohort_day")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(day - cohort_day AS INT)))"
+            ).alias("mask")
+        )
+    )
+    sizes = masked.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.expr("bit_count(mask)")).cast("bigint").alias("sum_active_days"),
+    )
+    hits = (
+        masked.select(
+            "cohort_day",
+            F.explode(F.sequence(F.lit(0), F.lit(RETENTION_DAYS - 1))).alias("off"),
+            "mask",
+        )
+        .filter(F.expr("(mask >> off) & 1 = 1"))
+        .groupBy("cohort_day", F.col("off").cast("bigint").alias("off"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return hits.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "off",
+        "n_users",
+        "sum_active_days",
+        "n_retained",
+        (F.col("n_retained") / F.col("n_users")).alias("retained_frac"),
+    )

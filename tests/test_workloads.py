@@ -153,3 +153,23 @@ def test_cms_heavy_hitters_overcounts_only(spark, sf_small):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"] > 0
         assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_bitmap_retention_invariants(spark, sf_small):
+    """Offset 0 is definitionally full retention (the cohort day is
+    each user's first active day); every other offset is bounded by
+    the cohort size."""
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_bitmap_retention,
+    )
+
+    rows = events_bitmap_retention(spark, sf_small).collect()
+    assert len(rows) > 0
+    by_cohort = {}
+    for r in rows:
+        assert 1 <= r["n_retained"] <= r["n_users"]
+        assert 0.0 < r["retained_frac"] <= 1.0
+        assert r["sum_active_days"] >= r["n_users"]
+        by_cohort.setdefault(r["cohort_day"], {})[r["off"]] = r
+    for cohort, offs in by_cohort.items():
+        assert offs[0]["retained_frac"] == 1.0, cohort
