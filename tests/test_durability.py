@@ -393,3 +393,39 @@ def test_sequential_writers_interleave_without_conflict(store, spark):
     other.append({"t": spark.createDataFrame([(6, "f")], "id int, v string")})
     got = sorted(tuple(r) for r in store.read("t").collect())
     assert got == [(1, "a"), (2, "b"), (5, "e"), (6, "f")]
+
+
+def test_session_cached_builds_once_under_concurrency(spark):
+    """The double-checked lock contract: N concurrent cold callers on
+    one key run build() exactly once and all get the same object;
+    a different sf_dir key builds separately."""
+    import threading
+
+    from flat_file_social_media_database_engine_spark.plans.materialize import (
+        session_cached,
+    )
+
+    cache: dict = {}
+    builds = []
+    results = []
+
+    def build():
+        builds.append(1)
+        return object()
+
+    def worker():
+        results.append(session_cached(cache, spark, "/tmp/dirA", build))
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1
+    assert len({id(r) for r in results}) == 1
+    other = session_cached(cache, spark, "/tmp/dirB", build)
+    assert len(builds) == 2
+    assert other is not results[0]
+    # warm call returns the cached object without rebuilding
+    assert session_cached(cache, spark, "/tmp/dirA", build) is results[0]
+    assert len(builds) == 2
