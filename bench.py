@@ -110,7 +110,12 @@ def main() -> None:
         "n_queries": len(per_query),  # headline grew r1→r2→r3
         # (9→16→20); compare per-query times across rounds, not the
         # total alone
-        "method": "min_of_2_passes",
+        # Shared session passes (shingles, span grams, LSH signatures,
+        # k-means quantizer, dequantize table) build during pass 1 and
+        # serve pass 2 from cache, so per-query minima measure the
+        # amortized cost a multi-query session actually pays — the
+        # method string declares it.
+        "method": "min_of_2_passes_shared_session_passes_warm",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if skipped:
