@@ -98,7 +98,13 @@ class SnapshotStore:
         v = self.current_version() if version is None else version
         if v == 0:
             return {}
-        raw = self._manifest(v)["tables"]
+        try:
+            raw = self._manifest(v)["tables"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {v} was vacuumed (pre-horizon history is "
+                "physically reclaimed; see SnapshotStore.vacuum)"
+            ) from None
         return {n: [p] if isinstance(p, str) else list(p) for n, p in raw.items()}
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
@@ -213,6 +219,55 @@ class SnapshotStore:
             {name: self.read(name)},
             partition_by={name: partition_by} if partition_by else None,
         )
+
+    def vacuum(self, retain_last: int = 10) -> dict:
+        """Physically delete data directories unreachable from the
+        manifests of the last ``retain_last`` versions — the
+        Delta-style VACUUM that bounds DISK growth the way ``compact``
+        bounds manifest growth. Copy-on-write never deletes, so a
+        long-lived store otherwise keeps every superseded rewrite
+        forever.
+
+        Carry-by-reference is the subtlety: a retained manifest may
+        point INTO an older version's directory (tables unchanged
+        since then), so the keep-set is computed from retained
+        manifests' path lists, never from version-directory age. A
+        vacuumed version's manifest is removed with its last
+        unreferenced data — time travel to it then raises (the
+        documented trade: reclaim space, lose pre-horizon history);
+        retained versions keep the full read-at-version contract.
+        Returns {"removed_dirs", "removed_versions", "horizon"}."""
+        import shutil
+
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        cur = self.current_version()
+        horizon = max(1, cur - retain_last + 1)
+        keep: set[str] = set()
+        for v in range(horizon, cur + 1):
+            for dirs in self.tables(v).values():
+                keep.update(os.path.abspath(p) for p in dirs)
+        removed_dirs = removed_versions = 0
+        for v in range(1, horizon):
+            vdir = os.path.join(self.root, f"v{v:05d}")
+            if not os.path.isdir(vdir):
+                continue
+            for entry in os.listdir(vdir):
+                p = os.path.abspath(os.path.join(vdir, entry))
+                if entry != "_MANIFEST.json" and os.path.isdir(p) and p not in keep:
+                    shutil.rmtree(p)
+                    removed_dirs += 1
+            if not [e for e in os.listdir(vdir) if e != "_MANIFEST.json"]:
+                manifest = os.path.join(vdir, "_MANIFEST.json")
+                if os.path.exists(manifest):
+                    os.remove(manifest)
+                os.rmdir(vdir)
+                removed_versions += 1
+        return {
+            "removed_dirs": removed_dirs,
+            "removed_versions": removed_versions,
+            "horizon": horizon,
+        }
 
     def delete_where(self, name: str, condition: Column | str) -> int:
         """File-level copy-on-write DELETE: rows where ``condition`` is

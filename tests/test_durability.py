@@ -429,3 +429,38 @@ def test_session_cached_builds_once_under_concurrency(spark):
     # warm call returns the cached object without rebuilding
     assert session_cached(cache, spark, "/tmp/dirA", build) is results[0]
     assert len(builds) == 2
+
+
+def test_vacuum_reclaims_unreferenced_keeps_carried_references(store, spark):
+    """VACUUM deletes only data unreachable from retained manifests:
+    the current read is byte-identical, a table carried by reference
+    from the oldest version SURVIVES (its physical dir lives in a
+    pre-horizon version dir), superseded rewrites are reclaimed, and
+    time travel to a vacuumed version raises a clear error."""
+    df2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    # 'u' is committed once early and never touched again -> every
+    # later manifest carries it BY REFERENCE into v2's directory
+    store.commit({"u": df2})
+    for i in range(4):
+        rew = spark.createDataFrame([(10 + i, "r")], "id int, v string")
+        store.commit({"t": rew})  # each rewrite supersedes the last
+    cur = store.current_version()
+    want_t = sorted(tuple(r) for r in store.read("t").collect())
+    want_u = sorted(tuple(r) for r in store.read("u").collect())
+    want_recent = sorted(tuple(r) for r in store.read("t", cur - 1).collect())
+
+    out = store.vacuum(retain_last=2)
+    assert out["removed_dirs"] >= 2  # the superseded 't' rewrites
+    assert out["horizon"] == cur - 1
+
+    assert sorted(tuple(r) for r in store.read("t").collect()) == want_t
+    assert sorted(tuple(r) for r in store.read("u").collect()) == want_u
+    assert (
+        sorted(tuple(r) for r in store.read("t", cur - 1).collect())
+        == want_recent
+    )
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.read("t", 1)
+    # idempotent: nothing left to reclaim at the same horizon
+    again = store.vacuum(retain_last=2)
+    assert again["removed_dirs"] == 0
