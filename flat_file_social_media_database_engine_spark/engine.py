@@ -165,6 +165,29 @@ class Engine:
         self._register()
 
     # -- export (reference's durable format) ---------------------------------
+    def maintain(
+        self, vacuum_retain: int = 10, compact: bool = True
+    ) -> dict:
+        """Periodic table maintenance in one call (the cron job a
+        long-lived deployment runs): compact every table whose
+        manifest has grown past one directory (bounds read fan-in),
+        then vacuum data behind the retention horizon (bounds disk).
+        Compaction first — its rewrite supersedes the append debris
+        vacuum then reclaims. Re-resolves the engine's table handles
+        afterwards so readers follow the new current version."""
+        assert self.store is not None
+        compacted = []
+        if compact:
+            for name, dirs in self.store.tables().items():
+                if len(dirs) > 1:
+                    self.store.compact(name)
+                    compacted.append(name)
+        out = self.store.vacuum(retain_last=vacuum_retain)
+        out["compacted"] = compacted
+        self.tables = self.store.read_all()
+        self._register()
+        return out
+
     def export_csv(self, out_dir: str) -> None:
         """Write every table back to header CSVs in the reference's
         column order — the flat-file format IS the reference's durable

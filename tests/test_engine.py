@@ -223,3 +223,34 @@ def test_delete_unknown_user_is_noop(engine):
         for n in ("users", "posts", "engagements")
     }
     assert before == after
+
+
+def test_maintain_compacts_vacuums_and_preserves_reads(engine, spark):
+    """One maintenance call: multi-directory tables compact to one,
+    pre-horizon debris is reclaimed, and every table reads identically
+    afterwards (including through the re-registered SQL views)."""
+    for i in range(3):
+        row = engine.tables["engagements"].limit(1).collect()[0].asDict()
+        row["id"] = 90_000 + i
+        engine.add_engagement_records(
+            spark.createDataFrame([row], engine.tables["engagements"].schema)
+        )
+    before = {
+        n: sorted(tuple(r) for r in engine.tables[n].collect())
+        for n in engine.tables
+    }
+    assert len(engine.store.tables()["engagements"]) > 1
+
+    out = engine.maintain(vacuum_retain=1)
+    assert "engagements" in out["compacted"]
+    assert all(len(d) == 1 for d in engine.store.tables().values())
+    assert out["removed_dirs"] >= 1
+    after = {
+        n: sorted(tuple(r) for r in engine.tables[n].collect())
+        for n in engine.tables
+    }
+    assert after == before
+    assert (
+        sorted(tuple(r) for r in spark.sql("SELECT * FROM engagements").collect())
+        == before["engagements"]
+    )
