@@ -176,16 +176,21 @@ class Engine:
         vacuum then reclaims. Re-resolves the engine's table handles
         afterwards so readers follow the new current version."""
         assert self.store is not None
-        compacted = []
+        compacted: list[str] = []
         if compact:
-            for name, dirs in self.store.tables().items():
-                if len(dirs) > 1:
-                    self.store.compact(name)
-                    compacted.append(name)
+            fragmented = {
+                name: self.store.read(name)
+                for name, dirs in self.store.tables().items()
+                if len(dirs) > 1
+            }
+            if fragmented:
+                # ONE multi-table commit: N fragmented tables cost one
+                # version (one manifest write, one pointer swap), not N.
+                self.store.commit(fragmented)
+                compacted = sorted(fragmented)
         out = self.store.vacuum(retain_last=vacuum_retain)
         out["compacted"] = compacted
-        self.tables = self.store.read_all()
-        self._register()
+        self.load_snapshot()
         return out
 
     def export_csv(self, out_dir: str) -> None:

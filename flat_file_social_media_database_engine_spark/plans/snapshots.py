@@ -88,9 +88,11 @@ class SnapshotStore:
     def tables(self, version: int | None = None) -> dict[str, list[str]]:
         """Manifest as name → list of parquet dirs (older single-path
         manifests are normalized to 1-element lists). ``version``
-        time-travels to any committed snapshot — copy-on-write never
-        deletes prior versions' files, so every manifest stays
-        readable (the Iceberg/Delta read-at-version contract)."""
+        time-travels to any committed snapshot — commits never delete
+        prior versions' files, so every manifest stays readable (the
+        Iceberg/Delta read-at-version contract) UNTIL an explicit
+        ``vacuum`` reclaims history behind its retention horizon;
+        reads at reclaimed versions raise a clear ValueError."""
         if version is not None and not 1 <= version <= self.current_version():
             raise ValueError(
                 f"version {version} not in [1, {self.current_version()}]"
@@ -117,9 +119,19 @@ class SnapshotStore:
         only ever arise from appends). Each version's manifest is
         immutable, so time-travel reads resolve the schema as of that
         version (pinned in tests/test_durability.py)."""
+        by_table = self.tables(version)
+        if name not in by_table:
+            v = self.current_version() if version is None else version
+            if v and name in self._manifest(v).get("vacuumed_tables", []):
+                raise ValueError(
+                    f"table '{name}' at version {v} was vacuumed (its "
+                    "directories were reclaimed behind the retention "
+                    "horizon; see SnapshotStore.vacuum)"
+                )
+            raise KeyError(name)
         return (
             self.spark.read.option("mergeSchema", True)
-            .parquet(*self.tables(version)[name])
+            .parquet(*by_table[name])
         )
 
     def read_all(self, version: int | None = None) -> dict[str, DataFrame]:
@@ -212,7 +224,8 @@ class SnapshotStore:
         Time-travel safe by construction: compaction is an ordinary
         copy-on-write commit of the union-read, so prior versions'
         manifests and files are untouched and every historical read
-        still resolves (pinned in tests/test_durability.py).
+        still resolves (pinned in tests/test_durability.py) — until
+        an explicit ``vacuum`` later reclaims pre-horizon history.
         ``partition_by`` optionally (re)clusters the rewrite so the
         compacted layout prunes on those columns."""
         return self.commit(
@@ -232,11 +245,15 @@ class SnapshotStore:
         point INTO an older version's directory (tables unchanged
         since then), so the keep-set is computed from retained
         manifests' path lists, never from version-directory age. A
-        vacuumed version's manifest is removed with its last
-        unreferenced data — time travel to it then raises (the
-        documented trade: reclaim space, lose pre-horizon history);
-        retained versions keep the full read-at-version contract.
-        Returns {"removed_dirs", "removed_versions", "horizon"}."""
+        fully-reclaimed version loses its manifest (reads raise the
+        clear "was vacuumed" error); a PARTIALLY-reclaimed one (some
+        dirs carried by retained manifests) keeps its manifest with
+        the dead table entries pruned into ``vacuumed_tables``, so
+        reads of reclaimed tables also fail clearly instead of with a
+        raw path-not-found. Versions a previous, tighter vacuum
+        already removed are skipped, so loosening ``retain_last``
+        between runs is safe. Returns {"removed_dirs",
+        "removed_versions", "horizon"}."""
         import shutil
 
         if retain_last < 1:
@@ -245,24 +262,68 @@ class SnapshotStore:
         horizon = max(1, cur - retain_last + 1)
         keep: set[str] = set()
         for v in range(horizon, cur + 1):
-            for dirs in self.tables(v).values():
-                keep.update(os.path.abspath(p) for p in dirs)
+            try:
+                by_table = self.tables(v)
+            except ValueError:
+                continue  # removed by an earlier, tighter vacuum
+            for dirs in by_table.values():
+                keep.update(os.path.realpath(p) for p in dirs)
+        # Refuse to delete ANYTHING if the keep-set doesn't resolve:
+        # manifest paths inherit the root's spelling, so a relative-
+        # root store vacuumed from a different CWD would judge every
+        # still-referenced directory "unreachable" and rmtree it —
+        # irreversible, since copy-on-write keeps no second copy.
+        missing = sorted(p for p in keep if not os.path.isdir(p))
+        if missing:
+            raise RuntimeError(
+                "vacuum aborted: retained manifests reference paths that "
+                f"do not resolve from here (first: {missing[0]}) — open "
+                "the store with the same root spelling/CWD it was "
+                "written with"
+            )
         removed_dirs = removed_versions = 0
         for v in range(1, horizon):
             vdir = os.path.join(self.root, f"v{v:05d}")
             if not os.path.isdir(vdir):
                 continue
             for entry in os.listdir(vdir):
-                p = os.path.abspath(os.path.join(vdir, entry))
-                if entry != "_MANIFEST.json" and os.path.isdir(p) and p not in keep:
+                p = os.path.join(vdir, entry)
+                if (
+                    entry != "_MANIFEST.json"
+                    and os.path.isdir(p)
+                    and os.path.realpath(p) not in keep
+                ):
                     shutil.rmtree(p)
                     removed_dirs += 1
+            manifest_path = os.path.join(vdir, "_MANIFEST.json")
             if not [e for e in os.listdir(vdir) if e != "_MANIFEST.json"]:
-                manifest = os.path.join(vdir, "_MANIFEST.json")
-                if os.path.exists(manifest):
-                    os.remove(manifest)
+                if os.path.exists(manifest_path):
+                    os.remove(manifest_path)
                 os.rmdir(vdir)
                 removed_versions += 1
+            elif os.path.exists(manifest_path):
+                m = self._manifest(v)
+                tbls = {
+                    n: [p] if isinstance(p, str) else list(p)
+                    for n, p in m["tables"].items()
+                }
+                live = {
+                    n: ps
+                    for n, ps in tbls.items()
+                    if all(os.path.isdir(p) for p in ps)
+                }
+                dead = sorted(set(tbls) - set(live))
+                if dead:
+                    m["tables"] = live
+                    m["vacuumed_tables"] = sorted(
+                        set(m.get("vacuumed_tables", [])) | set(dead)
+                    )
+                    fd, tmp = tempfile.mkstemp(dir=vdir, prefix="_MANIFEST.")
+                    with os.fdopen(fd, "w") as f:
+                        json.dump(m, f)
+                        f.flush()
+                        os.fsync(f.fileno())
+                    os.replace(tmp, manifest_path)
         return {
             "removed_dirs": removed_dirs,
             "removed_versions": removed_versions,

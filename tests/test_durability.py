@@ -461,6 +461,16 @@ def test_vacuum_reclaims_unreferenced_keeps_carried_references(store, spark):
     )
     with pytest.raises(ValueError, match="vacuumed"):
         store.read("t", 1)
+    # partially-vacuumed version ('u' survives in v2, its 't' entry
+    # was reclaimed): reads fail with the CLEAR error, not a raw
+    # Spark path-not-found
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.read("t", 2)
+    assert sorted(tuple(r) for r in store.read("u", 2).collect()) == want_u
     # idempotent: nothing left to reclaim at the same horizon
     again = store.vacuum(retain_last=2)
     assert again["removed_dirs"] == 0
+    # loosening retention after a tighter vacuum must NOT crash on
+    # the versions the earlier run already removed
+    relaxed = store.vacuum(retain_last=50)
+    assert relaxed["removed_dirs"] == 0
