@@ -103,6 +103,9 @@ _VERIFY_FIRST = [
     "docs_strip_dup_spans",
     "pipeline_dedup_corpus",
     "events_bitmap_retention",
+    # final r3 addition — fills the last free slot of the driver's
+    # 50-row window (head was 49 deep)
+    "docs_domain_budget",
 ]
 _STABLE_TAIL = [
     # rotated out for mm_frame_stats (late r3): r2-green, its

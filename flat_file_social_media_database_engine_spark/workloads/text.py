@@ -1202,3 +1202,77 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document budget — the Common-Crawl-style cap that stops
+# any single domain from dominating the mixture (distinct from
+# sample_stratified's RATE-based thinning: a cap bounds the absolute
+# contribution of a pathological domain no matter how large it gets).
+# Survivors are deterministic: rank within source by n_chars DESC
+# (prefer substantive documents), then a salted 60-bit md5 hash (so
+# equal-length docs are picked reproducibly but without doc_id bias),
+# then doc_id as the total-order tiebreak.
+# ---------------------------------------------------------------------------
+_BUDGET_SALT = "budget-v1"  # decorrelated from the sampler/split salts
+DOMAIN_CAP = 12  # max docs any one source may contribute
+
+
+@query(
+    "docs_domain_budget",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC,
+                        CAST(('0x' || substr(md5('{_BUDGET_SALT}-' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rnk
+    FROM ranked WHERE rnk <= {DOMAIN_CAP}
+    """,
+)
+def docs_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source at DOMAIN_CAP documents, keeping the longest
+    (hash-tiebroken) ones — reference lineage: the per-user GROUP
+    BY + membership shapes of buzzdb_lab1.cpp:682-773 generalized to
+    the bounded-contribution selection a training mixture needs.
+
+    One shuffle, keyed by source; the window computes row_number only
+    (no full sort of values beyond the partition's own ordering). At
+    100 TB a hot domain makes this partition-skewed — the scale lever
+    is a SAFE hash prefilter: per-source counts (a metadata-sized
+    agg) give each source a conservative hash threshold
+    t_s = min(1, margin*CAP/n_s), rows with h >= t_s*2^60 cannot be
+    in the top CAP by hash and are dropped map-side BEFORE the
+    shuffle, with a per-source survivor recount guarding the (order
+    statistics) margin so correctness never depends on it. Not wired
+    here because ordering is length-first; with rank-by-hash-only
+    mixtures it cuts the shuffle to ~margin*CAP rows per source."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(_BUDGET_SALT + "-"), F.col("doc_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), h.asc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= DOMAIN_CAP)
+    )

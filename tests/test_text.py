@@ -160,3 +160,44 @@ def test_chunk_overlap_grid_and_truncation(spark, tmp_path):
     for r in c1:
         covered |= set(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"]))
     assert covered == set(range(40))
+
+
+def test_domain_budget_cap_and_length_preference(spark, tmp_path):
+    """docs_domain_budget: each source contributes min(cap, n_source)
+    docs, survivors are the longest per source, ranks are 1..kept."""
+    rows = []
+    # source s0: 3 docs (under cap) — all survive
+    for i in range(3):
+        rows.append((i, "w " * (i + 1), "en", "src0", 2 * (i + 1)))
+    # source s1: DOMAIN_CAP + 5 docs with distinct lengths — only the
+    # longest DOMAIN_CAP survive
+    from flat_file_social_media_database_engine_spark.workloads.text import (
+        DOMAIN_CAP,
+    )
+
+    n1 = DOMAIN_CAP + 5
+    for i in range(n1):
+        rows.append((100 + i, "w " * (i + 1), "en", "src1", 2 * (i + 1)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from flat_file_social_media_database_engine_spark.workloads.text import (
+        docs_domain_budget,
+    )
+
+    out = docs_domain_budget(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["src0"]) == 3
+    assert len(by_src["src1"]) == DOMAIN_CAP
+    # survivors of src1 are exactly the longest DOMAIN_CAP docs
+    kept_ids = {r["doc_id"] for r in by_src["src1"]}
+    assert kept_ids == {100 + i for i in range(n1 - DOMAIN_CAP, n1)}
+    for src, got in by_src.items():
+        assert sorted(r["rnk"] for r in got) == list(range(1, len(got) + 1))
+        # rank follows length descending
+        by_rank = sorted(got, key=lambda r: r["rnk"])
+        lens = [r["n_chars"] for r in by_rank]
+        assert lens == sorted(lens, reverse=True)
