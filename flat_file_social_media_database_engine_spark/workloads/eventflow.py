@@ -1021,3 +1021,52 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_retained",
         (F.col("n_retained") / F.col("n_users")).alias("retained_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival profile — per event type, the distribution of the gap
+# between a user's consecutive events (any type): the telemetry twin
+# of sessionize's gap rule, reported instead of thresholded. Real
+# deployments read this to CHOOSE the session gap and to spot
+# bot-like traffic (near-zero inter-arrival at volume).
+# ---------------------------------------------------------------------------
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_arrivals,
+           CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / count(*)
+             / 1000000.0 AS mean_gap_s,
+           CAST(min(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_s,
+           CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gaps. Same single user-keyed window
+    shuffle as sessionize (skew levers identical — see
+    events_sessionize_twophase), then one map-side-combined agg
+    carrying a report row per event type. Gap sums stay exact BIGINT
+    microseconds until the final double division, so the reduction is
+    order-independent without the DECIMAL detour."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (_epoch_us("ts") - F.lag(_epoch_us("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    n = F.count(F.lit(1))
+    return gaps.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_arrivals"),
+        (F.sum("gap_us").cast("double") / n / F.lit(1000000.0)).alias("mean_gap_s"),
+        (F.min("gap_us").cast("double") / F.lit(1000000.0)).alias("min_gap_s"),
+        (F.max("gap_us").cast("double") / F.lit(1000000.0)).alias("max_gap_s"),
+    )

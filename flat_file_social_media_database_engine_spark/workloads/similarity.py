@@ -1690,3 +1690,67 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "vec_id_a", "vec_id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-corpus QA report — the sanity gate a pipeline runs BEFORE
+# spending compute on ANN/dedup over a new embedding batch: per label,
+# how many vectors, any with the wrong dimensionality, any collapsed
+# to (near) zero norm (a failed encoder emits those and they poison
+# cosine math), and the norm range/mean (catches un-normalized or
+# clipped batches at a glance).
+# ---------------------------------------------------------------------------
+_EXPECT_DIM = _DIM
+_ZERO_NORM_EPS = 1e-6
+
+
+@query(
+    "sim_embedding_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT label, len(embedding) AS dim,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN dim <> {_EXPECT_DIM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_dim,
+           CAST(sum(CASE WHEN nrm < {_ZERO_NORM_EPS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_zero,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           CAST(CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS mean_norm
+    FROM base
+    GROUP BY label
+    """,
+)
+def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding QA. One scan, one map-side-combined
+    aggregation shuffle carrying a handful of report rows per label —
+    the same shape at 100 TB. Norms use the sequential-fold dot (bit-
+    identical across engines); the mean routes through DECIMAL so the
+    reduction is order-independent (see workloads/analytics.py); the
+    min/max/counts are exact by construction."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(_norm2("embedding")).alias("nrm"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy("label").agg(
+        n.cast("bigint").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("dim") != _EXPECT_DIM, 1).otherwise(0)
+        ).cast("bigint").alias("n_bad_dim"),
+        F.sum(
+            F.when(F.col("nrm") < _ZERO_NORM_EPS, 1).otherwise(0)
+        ).cast("bigint").alias("n_near_zero"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        (
+            F.sum(F.col("nrm").cast("decimal(28,6)")).cast("double") / n
+        ).cast("double").alias("mean_norm"),
+    )
