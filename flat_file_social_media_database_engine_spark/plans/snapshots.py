@@ -142,6 +142,7 @@ class SnapshotStore:
         self,
         changed: dict[str, DataFrame],
         partition_by: dict[str, list[str]] | None = None,
+        cluster_by: dict[str, tuple[list[str], int]] | None = None,
     ) -> int:
         """Copy-on-write REPLACE: each changed table's file list is
         rewritten to one fresh directory (updates / renames / loads).
@@ -151,8 +152,23 @@ class SnapshotStore:
         rewrite lays the table out hive-partitioned so downstream
         scans with predicates on those columns prune whole directories
         (the 100 TB layout lever — e.g. events by event date, facts by
-        key range)."""
-        return self._publish(changed, append=False, partition_by=partition_by)
+        key range).
+
+        ``cluster_by`` maps table name → (columns, n_files): the
+        rewrite range-partitions rows across ``n_files`` files and
+        sorts within each, so every file owns a disjoint key range
+        (pinned in tests/test_durability.py). This is the second
+        layout lever: parquet footers carry per-column min/max, so a
+        range/point predicate on the cluster columns skips whole
+        files at scan time — the poor-man's Z-order that linearizes
+        one dimension exactly. Hive partitioning prunes on LOW-
+        cardinality columns (directories); clustering prunes on
+        high-cardinality ones (timestamps, keys) without directory
+        explosion. Composable with ``partition_by`` (cluster within
+        each partition)."""
+        return self._publish(
+            changed, append=False, partition_by=partition_by, cluster_by=cluster_by
+        )
 
     def append(
         self, appended: dict[str, DataFrame], meta: dict | None = None
@@ -213,7 +229,10 @@ class SnapshotStore:
         return {} if v == 0 else self._manifest(v).get("meta", {})
 
     def compact(
-        self, name: str, partition_by: list[str] | None = None
+        self,
+        name: str,
+        partition_by: list[str] | None = None,
+        cluster_by: tuple[list[str], int] | None = None,
     ) -> int:
         """Rewrite ``name``'s file list to ONE fresh directory in a
         new version. ``append`` grows the manifest list by one entry
@@ -226,11 +245,14 @@ class SnapshotStore:
         manifests and files are untouched and every historical read
         still resolves (pinned in tests/test_durability.py) — until
         an explicit ``vacuum`` later reclaims pre-horizon history.
-        ``partition_by`` optionally (re)clusters the rewrite so the
-        compacted layout prunes on those columns."""
+        ``partition_by`` / ``cluster_by`` optionally (re)cluster the
+        rewrite so the compacted layout prunes on those columns —
+        compaction is exactly when a 100 TB deployment re-sorts cold
+        data into its read-optimized order."""
         return self.commit(
             {name: self.read(name)},
             partition_by={name: partition_by} if partition_by else None,
+            cluster_by={name: cluster_by} if cluster_by else None,
         )
 
     def vacuum(self, retain_last: int = 10) -> dict:
@@ -480,6 +502,7 @@ class SnapshotStore:
         changed: dict[str, DataFrame],
         append: bool,
         partition_by: dict[str, list[str]] | None = None,
+        cluster_by: dict[str, tuple[list[str], int]] | None = None,
         carry: dict[str, list[str]] | None = None,
         meta: dict | None = None,
     ) -> int:
@@ -491,6 +514,11 @@ class SnapshotStore:
         new_tables = {n: list(ps) for n, ps in old_tables.items()}
         for name, df in changed.items():
             path = os.path.join(vdir, name)
+            if cluster_by and name in cluster_by:
+                cols, n_files = cluster_by[name]
+                df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(
+                    *cols
+                )
             writer = df.write.mode("overwrite")
             if partition_by and name in partition_by:
                 writer = writer.partitionBy(*partition_by[name])

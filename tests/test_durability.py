@@ -474,3 +474,49 @@ def test_vacuum_reclaims_unreferenced_keeps_carried_references(store, spark):
     # the versions the earlier run already removed
     relaxed = store.vacuum(retain_last=50)
     assert relaxed["removed_dirs"] == 0
+
+
+def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by(cols, n_files): every parquet file owns a disjoint
+    range of the cluster column (range-partitioned + sorted within),
+    so footer min/max statistics let a scan skip whole files for
+    range/point predicates — and the data read back is unchanged."""
+    import glob
+
+    s = SnapshotStore(spark, str(tmp_path / "store"))
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id"
+    )
+    want_rows = events.count()
+    s.commit({"events": events}, cluster_by={"events": (["ts"], 6)})
+
+    [path] = s.tables()["events"]
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) > 1, "need multiple files to prove disjointness"
+    ranges = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .selectExpr("min(ts) AS lo", "max(ts) AS hi", "count(*) AS n")
+            .collect()[0]
+        )
+        if row["n"]:
+            ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: {hi_a} > {lo_b}"
+    # layout change is invisible to readers
+    assert s.read("events").count() == want_rows
+
+    # compact can (re)cluster cold data the same way
+    more = events.limit(10)
+    s.append({"events": more})
+    s.compact("events", cluster_by=(["ts"], 4))
+    [cpath] = s.tables()["events"]
+    cfiles = sorted(glob.glob(os.path.join(cpath, "part-*.parquet")))
+    assert len(cfiles) > 1
+    assert s.read("events").count() == want_rows + 10
