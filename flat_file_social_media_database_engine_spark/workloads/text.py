@@ -1242,18 +1242,15 @@ def docs_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY + membership shapes of buzzdb_lab1.cpp:682-773 generalized to
     the bounded-contribution selection a training mixture needs.
 
-    One shuffle, keyed by source; the window computes row_number only
-    (no full sort of values beyond the partition's own ordering). At
-    100 TB a hot domain makes this partition-skewed — the scale lever
-    is a SAFE hash prefilter: per-source counts (a metadata-sized
-    agg) give each source a conservative hash threshold
-    t_s = min(1, margin*CAP/n_s), rows with h >= t_s*2^60 cannot be
-    in the top CAP by hash and are dropped map-side BEFORE the
-    shuffle, with a per-source survivor recount guarding the (order
-    statistics) margin so correctness never depends on it. Not wired
-    here because ordering is length-first; with rank-by-hash-only
-    mixtures it cuts the shuffle to ~margin*CAP rows per source."""
-    from pyspark.sql import Window
+    The scale shape is the window top-k's missing combiner
+    (operators/topk.py): an Arrow batch-local top-CAP prune runs
+    BEFORE the source-keyed shuffle — exact by the superset argument
+    documented there — so the window's exchange carries ~CAP docs per
+    source per input split instead of every document, and a hot
+    domain stops being a shuffle hot key. The window itself
+    (JVM-side, unchanged semantics, same SQL oracle) still decides
+    every rank."""
+    from ..operators.topk import topk_per_key
 
     docs = read_table(spark, sf_dir, "documents")
     h = F.conv(
@@ -1267,12 +1264,13 @@ def docs_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc(), h.asc(), F.col("doc_id").asc())
-    )
-    return (
-        docs.select("doc_id", "source", "n_chars")
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= DOMAIN_CAP)
+    return topk_per_key(
+        docs.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [
+            (F.col("n_chars"), "n_chars", False),
+            (h, "_h", True),
+            (F.col("doc_id"), "doc_id", True),
+        ],
+        DOMAIN_CAP,
     )
