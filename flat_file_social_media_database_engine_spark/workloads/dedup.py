@@ -321,6 +321,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment near-dup: |A∩B| / min(|A|,|B|). Jaccard under-scores
+# asymmetric duplication (a short doc wholly embedded in a long one:
+# J = |A|/|B| → 0 as the host grows, containment stays 1) — this is
+# the quote/boilerplate/excerpt detector a training-data build runs
+# NEXT TO symmetric near-dup, per the dedup literature (Broder's
+# resemblance vs containment distinction).
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    {_DOC_SHINGLES_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, common,
+           na.n_shingles AS n_a, nb.n_shingles AS n_b,
+           common / least(na.n_shingles, nb.n_shingles) AS containment,
+           common / (na.n_shingles + nb.n_shingles - common) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.doc_id = doc_id_a
+    JOIN sizes nb ON nb.doc_id = doc_id_b
+    WHERE common / least(na.n_shingles, nb.n_shingles)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle containment, with the
+    Jaccard score alongside so downstream policy can see WHICH signal
+    fired (containment-high/jaccard-low = embedded excerpt;
+    both-high = symmetric near-dup).
+
+    Plan shape: identical to ``dedup_ngram_jaccard`` — the shared
+    materialized shingle pass, inverted-index candidate join (pairs
+    must share a shingle; no cartesian), one extra projected division.
+    This is the exactness baseline by spec; at 100 TB the candidate
+    generator swaps for an asymmetric-LSH front (containment is not
+    preserved by plain MinHash — the docstring of the LSH query notes
+    its s-curve is Jaccard's), while this verification arithmetic is
+    unchanged."""
+    e, sizes = _doc_shingles(spark, sf_dir)
+    return (
+        _pair_jaccard(e, sizes)
+        .withColumn(
+            "containment", F.col("common") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("containment") >= F.lit(CONTAINMENT_THRESHOLD))
+        .select(
+            "doc_id_a", "doc_id_b", "common", "n_a", "n_b",
+            "containment", "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + banded LSH: the 100 TB near-dup path. Candidates come only
 # from equal (band, band_key) buckets; exact Jaccard verifies them.
 # ---------------------------------------------------------------------------

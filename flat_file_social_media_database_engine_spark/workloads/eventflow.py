@@ -1070,3 +1070,82 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("gap_us").cast("double") / F.lit(1000000.0)).alias("min_gap_s"),
         (F.max("gap_us").cast("double") / F.lit(1000000.0)).alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-level distribution report — the one-row summary read off the
+# sessionize output (the dashboard twin: sessionize emits the per-
+# session table, this emits what an operator actually looks at).
+# Composes on events_sessionize the way session_stats SQL composes on
+# its CTE, so the two stay in lockstep by construction.
+# ---------------------------------------------------------------------------
+@query(
+    "events_session_stats",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+             count(*) AS n_events
+      FROM numbered
+      GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_event,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           CAST(CAST(sum(n_events) AS BIGINT) AS DOUBLE) / count(*)
+               AS avg_events,
+           CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+           CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / count(*)
+               AS avg_dur_us
+    FROM sessions
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row session distribution summary over the sessionize
+    output: volume (sessions/users), quality (single-event "bounce"
+    sessions), and exact-integer duration/size moments with ONE final
+    double division each (order-independent reduction — no float sums
+    cross the shuffle).
+
+    Plan shape: events_sessionize's one user-keyed window shuffle +
+    per-session agg, then a map-side-combined global agg collapsing
+    to a single row — the collapse carries one partial row per task,
+    so the report costs nothing beyond the sessionize it reads. Same
+    skew posture as sessionize (the twophase variant's plan applies
+    unchanged if one user's history is pathological)."""
+    sess = events_sessionize(spark, sf_dir)
+    dur = (_epoch_us("session_end") - _epoch_us("session_start")).alias(
+        "dur_us"
+    )
+    base = sess.select("user_id", dur, "n_events")
+    n = F.count(F.lit(1))
+    return base.agg(
+        n.cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_event"),
+        F.max("n_events").cast("bigint").alias("max_events"),
+        (F.sum("n_events").cast("double") / n).alias("avg_events"),
+        F.max("dur_us").cast("bigint").alias("max_dur_us"),
+        (F.sum("dur_us").cast("double") / n).alias("avg_dur_us"),
+    )

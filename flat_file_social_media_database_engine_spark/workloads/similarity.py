@@ -1754,3 +1754,75 @@ def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("nrm").cast("decimal(28,6)")).cast("double") / n
         ).cast("double").alias("mean_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid-distance outliers: the embedding-space noise detector a
+# curation pipeline runs over the SAME trained quantizer the ANN/
+# semantic-dedup queries use — vectors farthest from their assigned
+# k-means centroid are the mislabeled/garbage/out-of-distribution
+# candidates (the farthest-from-cluster heuristic in data-pruning
+# literature, e.g. the prototypicality ranking in SemDeDup-adjacent
+# curation work).
+# ---------------------------------------------------------------------------
+_OUTLIER_TOPN = 25
+
+
+def _outlier_oracle() -> str:
+    ctes, final_c = _kmeans_ctes()
+    return f"""
+    WITH {ctes},
+    asn AS (
+      SELECT vec_id, cell, d2 FROM (
+        SELECT b.vec_id, c.cid AS cell, {_km_d2_sql('b.v', 'c.v')} AS d2,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid)
+                   AS rn
+        FROM base b CROSS JOIN {final_c} c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, d2 AS dist2, outlier_rank
+    FROM (
+      SELECT vec_id, cell, d2,
+             CAST(row_number() OVER (ORDER BY d2 DESC, vec_id) AS BIGINT)
+                 AS outlier_rank
+      FROM asn
+    )
+    WHERE outlier_rank <= {_OUTLIER_TOPN}
+    """
+
+
+@query("sim_centroid_outliers", oracle=_outlier_oracle())
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N vectors by squared distance to their assigned
+    (trained) centroid — reuses the session-cached k-means quantizer,
+    so after any of its three sibling consumers ran, this query's only
+    new work is the map-only assignment plus a top-N.
+
+    Scale posture: a global "ORDER BY d2 DESC LIMIT N" window is an
+    all-rows single-reducer sort; instead the batch-local top-k prune
+    (operators/topk.py) forwards at most N rows per Arrow batch, so
+    the final window ranks ~N·batches survivors — same combiner
+    contract as the domain-budget query, exactness by the superset
+    argument. Distances are the sequential-fold doubles the kmeans
+    oracle already hash-checks; rank ties break on vec_id."""
+    from ..operators.topk import topk_per_key
+
+    base, cents = _kmeans_train(spark, sf_dir)
+    asn = _km_assign(base, cents).select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("d2").alias("dist2"),
+        F.lit(0).alias("_g"),
+    )
+    ranked = topk_per_key(
+        asn,
+        ["_g"],
+        [
+            (F.col("dist2"), "dist2", False),
+            (F.col("vec_id"), "vec_id", True),
+        ],
+        _OUTLIER_TOPN,
+        rank_col="outlier_rank",
+    )
+    return ranked.select("vec_id", "cell", "dist2", "outlier_rank")
