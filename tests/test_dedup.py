@@ -401,3 +401,35 @@ def test_bloom_prefilter_matches_model(spark, tmp_path_factory, old, new):
     }
     want = _bloom_model(old, [(D.N_OLD + i, t) for i, t in enumerate(new)])
     assert got == want, f"\nold={old!r}\nnew={new!r}\ngot={got}\nwant={want}"
+
+
+def test_containment_detects_embedded_excerpt(spark, tmp_path_factory):
+    """A short doc wholly embedded in a long host: containment = 1.0
+    (every excerpt shingle appears in the host) while Jaccard stays
+    far below the symmetric near-dup threshold — the pair must fire
+    the containment detector and NOT the Jaccard one."""
+    host_words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(20, 30))  # contiguous slice
+    rows = [
+        (0, host_words, "en", "s", 1),
+        (1, excerpt, "en", "s", 1),
+        (2, "totally unrelated text about other things entirely", "en", "s", 1),
+    ]
+    d = tmp_path_factory.mktemp("contain")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    cont = {
+        (r["doc_id_a"], r["doc_id_b"]): r
+        for r in D.dedup_containment_pairs(spark, str(d)).collect()
+    }
+    assert (0, 1) in cont
+    assert cont[(0, 1)]["containment"] == 1.0
+    # 8 excerpt shingles vs 58 host shingles: J = 8/58 << 0.5
+    assert cont[(0, 1)]["jaccard"] < D.JACCARD_THRESHOLD
+    jac = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.dedup_ngram_jaccard(spark, str(d)).collect()
+    }
+    assert (0, 1) not in jac

@@ -292,3 +292,36 @@ def test_semantic_dedup_pairs_subset_of_exact(spark, sf_small):
         key = (r["vec_id_a"], r["vec_id_b"])
         assert key in exact
         assert r["cosine"] == exact[key]
+
+
+def test_centroid_outliers_rank_planted_far_vector(spark, tmp_path_factory):
+    """A vector far from every cluster must rank as the #1 outlier
+    with the globally largest centroid distance.
+
+    Planting note: the outlier must not DOMINATE its cell — a
+    sufficiently extreme lone point drags the refitted centroid onto
+    itself (dist→0) and its innocent cellmates rank as outliers
+    instead (observed with 20 near points and a 50-per-dim spike).
+    Enough near points per cell + a moderate spike keeps every
+    centroid anchored by its cluster mass, which is also the regime
+    the detector is specified for."""
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    for i in range(100):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)], 0))
+    rows.append((100, [5.0] * dim, 0))  # far from everything
+    d = tmp_path_factory.mktemp("outl")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    out = S.sim_centroid_outliers(spark, str(d)).collect()
+    by_rank = {r["outlier_rank"]: r for r in out}
+    assert by_rank[1]["vec_id"] == 100
+    assert by_rank[1]["dist2"] == max(r["dist2"] for r in out)
+    # ranks are dense 1..min(N, TOPN)
+    assert sorted(by_rank) == list(range(1, len(out) + 1))

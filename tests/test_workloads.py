@@ -173,3 +173,25 @@ def test_bitmap_retention_invariants(spark, sf_small):
         by_cohort.setdefault(r["cohort_day"], {})[r["off"]] = r
     for cohort, offs in by_cohort.items():
         assert offs[0]["retained_frac"] == 1.0, cohort
+
+
+def test_session_stats_consistent_with_sessionize(spark, sf_small):
+    """The one-row report must equal a pandas aggregation of the
+    sessionize table it claims to summarize."""
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_session_stats,
+        events_sessionize,
+    )
+
+    sess = events_sessionize(spark, sf_small).toPandas()
+    dur_us = (
+        sess["session_end"].astype("int64") - sess["session_start"].astype("int64")
+    ) // 1000  # ns -> us
+    row = events_session_stats(spark, sf_small).collect()[0]
+    assert row["n_sessions"] == len(sess)
+    assert row["n_users"] == sess["user_id"].nunique()
+    assert row["n_single_event"] == int((sess["n_events"] == 1).sum())
+    assert row["max_events"] == int(sess["n_events"].max())
+    assert row["avg_events"] == sess["n_events"].sum() / len(sess)
+    assert row["max_dur_us"] == int(dur_us.max())
+    assert row["avg_dur_us"] == int(dur_us.sum()) / len(sess)
