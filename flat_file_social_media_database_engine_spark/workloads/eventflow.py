@@ -1149,3 +1149,76 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dur_us").cast("bigint").alias("max_dur_us"),
         (F.sum("dur_us").cast("double") / n).alias("avg_dur_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU + rolling 7-day active users. The trap this query exists to
+# demonstrate: WAU is NOT a windowed sum of DAU (users repeat across
+# days) — it needs a distinct-over-sliding-window, which has no
+# partial aggregation. The scale-right decomposition: reduce events
+# to DISTINCT (user, day) pairs first (the only corpus-sized shuffle,
+# map-side combined), then explode each pair into the ≤7 window-ends
+# it contributes to — a constant 7× expansion of the already-tiny
+# pair table, never of raw events — and count per window end.
+# ---------------------------------------------------------------------------
+_ROLLING_DAYS = 7
+
+
+@query(
+    "events_dau_rolling",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, count(*) AS dau FROM ud GROUP BY day
+    ),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - {_ROLLING_DAYS - 1} AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives + trailing-7-day actives per day.
+
+    The oracle states the semantics as the naive range join
+    (day BETWEEN d-6 AND d); the Spark plan is the scalable explode
+    form — each distinct (user, day) pair emits the window-end days
+    it can count toward, distinct again, count per day — so no range
+    join and no per-day rescan ever touches raw events. Output days
+    are calendar midnights as timestamps (both engines' DATE→pandas
+    paths differ; TIMESTAMP is the common exact type). Only days
+    that actually appear in the data are reported, so leading windows
+    are partial by construction (standard dashboard semantics)."""
+    events = read_table(spark, sf_dir, "events")
+    ud = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = (
+        ud.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr(
+                        f"INTERVAL {_ROLLING_DAYS - 1} DAYS"
+                    ),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")

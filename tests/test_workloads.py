@@ -195,3 +195,31 @@ def test_session_stats_consistent_with_sessionize(spark, sf_small):
     assert row["avg_events"] == sess["n_events"].sum() / len(sess)
     assert row["max_dur_us"] == int(dur_us.max())
     assert row["avg_dur_us"] == int(dur_us.sum()) / len(sess)
+
+
+def test_dau_rolling_counts_repeat_users_once(spark, tmp_path_factory):
+    """WAU is a distinct count, not a windowed sum of DAU: a user
+    active on two days inside the window contributes once."""
+    from datetime import datetime
+
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_dau_rolling,
+    )
+
+    rows = [
+        (1, datetime(2024, 3, 1, 10), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 3, 1, 11), 2, "view", 1.0, "{}"),
+        (3, datetime(2024, 3, 2, 9), 1, "view", 1.0, "{}"),   # user 1 again
+        (4, datetime(2024, 3, 2, 9, 30), 1, "click", 1.0, "{}"),  # same day dup
+    ]
+    d = tmp_path_factory.mktemp("dau")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    out = {r["day"].day: r for r in events_dau_rolling(spark, str(d)).collect()}
+    assert out[1]["dau"] == 2 and out[2]["dau"] == 1
+    assert out[1]["wau"] == 2          # partial leading window
+    assert out[2]["wau"] == 2          # user 1 counted ONCE, not twice
