@@ -52,6 +52,8 @@ HEADLINE = [
     "docs_strip_dup_spans",  # late r3: canonical-keep span removal (corpus rewrite)
     "pipeline_dedup_corpus",  # late r3: quality->dedup->strip->budget, one plan
     "events_bitmap_retention",  # late r3: 8-bytes-per-user bitmap retention
+    "events_dau_rolling",  # late r3: distinct-over-sliding-window actives
+    "orders_rfm_segments",  # late r3: reduce-then-rank RFM quartiles
 ]
 
 

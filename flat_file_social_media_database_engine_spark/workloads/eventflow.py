@@ -1198,10 +1198,19 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths differ; TIMESTAMP is the common exact type). Only days
     that actually appear in the data are reported, so leading windows
     are partial by construction (standard dashboard semantics)."""
+    from ..plans.materialize import materialize
+
     events = read_table(spark, sf_dir, "events")
-    ud = events.select(
-        F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct()
+    # Both report branches (dau, wau-contrib) consume the distinct
+    # pair table; without an explicit materialization each re-runs
+    # the events scan + distinct shuffle (plan-audited: scans=2).
+    # The pair table is users×days — tiny relative to events — so one
+    # spill-safe persist beats a second corpus pass at any scale.
+    ud = materialize(
+        events.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).distinct()
+    )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
     contrib = (
         ud.select(
