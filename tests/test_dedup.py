@@ -433,3 +433,55 @@ def test_containment_detects_embedded_excerpt(spark, tmp_path_factory):
         for r in D.dedup_ngram_jaccard(spark, str(d)).collect()
     }
     assert (0, 1) not in jac
+
+
+def _containment_model(texts: list[str], k: int, th: float) -> dict:
+    """Pure-Python twin of dedup_containment_pairs (Spark tokenizer
+    semantics: trim spaces only, ASCII \\s+ split keeping trailing
+    empties, first-occurrence-distinct shingles)."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    sh = {}
+    for d, t in enumerate(texts):
+        toks = ws.split((t or "").strip(" "))
+        if len(toks) >= k:
+            s = set(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+            if s:
+                sh[d] = s
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sh[a] & sh[b])
+            if not common:
+                continue
+            na, nb = len(sh[a]), len(sh[b])
+            cont = common / min(na, nb)
+            if cont >= th:
+                out[(a, b)] = (common, na, nb, cont, common / (na + nb - common))
+    return out
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_containment_matches_model(spark, tmp_path_factory, texts):
+    """Differential vs the pure-Python shingle-set model on the same
+    adversarial tiny-alphabet corpora as the span model test."""
+    d = tmp_path_factory.mktemp("containprop")
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): (
+            r["common"], r["n_a"], r["n_b"], r["containment"], r["jaccard"]
+        )
+        for r in D.dedup_containment_pairs(spark, str(d)).collect()
+    }
+    want = _containment_model(texts, D.SHINGLE_K, D.CONTAINMENT_THRESHOLD)
+    assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
