@@ -1231,3 +1231,74 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("wau")
     )
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group percentiles — the telemetry report (p50/p90/p99 of
+# event value per type) done by explicit rank selection so both
+# engines agree bit-for-bit (quantile built-ins interpolate
+# differently across engines; rank selection picks an actual data
+# point by a total order).
+# ---------------------------------------------------------------------------
+@query(
+    "events_value_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN value END) AS p90,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN value END) AS p99
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 per event type: rank each group once
+    (row_number with event_id tiebreak — a total order, so the
+    selected element is engine-independent; among EQUAL values any
+    tiebreak picks the same value), then one conditional-max
+    aggregation pulls the ceil(p·n)-th smallest out.
+
+    Scale posture, stated honestly: an exact grouped percentile needs
+    a per-group ordered pass, and window-over-partitionBy makes each
+    event type one unsplittable task — exactly the a5 trade at group
+    granularity. The production ladder is (1) the sketch twin
+    (`percentile_approx`, demonstrated by a5_approx_median) when
+    error tolerance exists, (2) for exactness at scale, range-bucket
+    values within each group first (the o1 global-sort trick applied
+    per group: per-(group, bucket) counts locate the bucket holding
+    rank ceil(p·n), then only that bucket sorts). This entry is the
+    exactness contract those optimizations must reproduce."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def pick(p: float) -> Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value")
+            )
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
