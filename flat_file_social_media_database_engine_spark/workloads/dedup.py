@@ -423,6 +423,37 @@ def _minhash_sig_udf():
     return mh_sig
 
 
+def _band_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows — MinHash signatures (map-only Arrow
+    pass) banded 16×4, each band xxhash64-keyed with the band index
+    hashed INTO the key so the bucket join needs only the single
+    8-byte column. Shared by the full pair query and the incremental
+    probe; docs with no shingles have no MinHash (empty min) — the
+    agg formulation dropped them implicitly, map-only must filter."""
+    garr = sh.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        F.transform("shingles", lambda s: _h60(s) % _P).alias("garr"),
+    )
+    sig = garr.select("doc_id", _minhash_sig_udf()("garr").alias("mh"))
+    band_key_cols = [
+        F.xxhash64(
+            F.lit(band),
+            *[
+                F.col("mh")[band * ROWS_PER_BAND + r]
+                for r in range(ROWS_PER_BAND)
+            ],
+        ).alias(f"bk_{band}")
+        for band in range(BANDS)
+    ]
+    keyed = sig.select("doc_id", *band_key_cols)
+    return keyed.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"bk_{band}") for band in range(BANDS)])
+        ).alias("band_key"),
+    )
+
+
 def _lsh_pairs_ctes() -> str:
     """All CTEs of the MinHash-LSH pipeline, ending in ``lsh_pairs``
     (the verified near-dup pair set) — shared by the pair query's
@@ -509,33 +540,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one generate identical candidate PAIRS (see module
     docstring)."""
     sh = _shingle_arrays(spark, sf_dir)
-
-    # Docs with no shingles have no MinHash (empty min) — the agg
-    # formulation dropped them implicitly, map-only must filter.
-    garr = sh.filter(F.size("shingles") > 0).select(
-        "doc_id",
-        F.transform("shingles", lambda s: _h60(s) % _P).alias("garr"),
-    )
-    sig = garr.select("doc_id", _minhash_sig_udf()("garr").alias("mh"))
-    band_key_cols = [
-        F.xxhash64(
-            F.lit(band),
-            *[
-                F.col("mh")[band * ROWS_PER_BAND + r]
-                for r in range(ROWS_PER_BAND)
-            ],
-        ).alias(f"bk_{band}")
-        for band in range(BANDS)
-    ]
-    # The band index is hashed INTO the key, so the bucket join needs
-    # only the single 8-byte band_key column — no (band, key) pair.
-    keyed = sig.select("doc_id", *band_key_cols)
-    bands = keyed.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.col(f"bk_{band}") for band in range(BANDS)])
-        ).alias("band_key"),
-    )
+    bands = _band_table(sh)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -858,6 +863,118 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_digest",
             F.when(F.col("od").isNotNull(), F.lit("dup_of_corpus"))
             .when(F.col("doc_id") > F.col("first_in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: classify a new ingest batch against the
+# corpus's LSH band-bucket index — the near-dup completion of
+# ``dedup_incremental`` (which catches exact digests only). Production
+# shape: the corpus keeps a persisted (band_key → doc) index; ingest
+# computes batch signatures map-only and probes it; the corpus is
+# never re-paired against itself.
+# ---------------------------------------------------------------------------
+def _inc_minhash_oracle() -> str:
+    return f"""
+    {_lsh_pairs_ctes()},
+    cross_pairs AS (
+      -- corpus ids < {N_OLD} <= batch ids, so batch-vs-corpus pairs
+      -- are exactly the verified pairs straddling the boundary
+      SELECT doc_id_a AS corpus_doc_id, doc_id_b AS doc_id, jaccard
+      FROM lsh_pairs
+      WHERE doc_id_a < {N_OLD} AND doc_id_b >= {N_OLD}
+    ),
+    best AS (
+      SELECT doc_id, corpus_doc_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jaccard DESC, corpus_doc_id) AS rn
+      FROM cross_pairs
+    )
+    SELECT d.doc_id,
+           b.corpus_doc_id AS matched_doc_id,
+           b.jaccard AS best_jaccard,
+           CASE WHEN b.corpus_doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+                ELSE 'unique' END AS status
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    WHERE d.doc_id >= {N_OLD}
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_inc_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each new-batch doc either near-duplicates some corpus doc
+    (best match by exact Jaccard ≥ {JACCARD_THRESHOLD}, ties to the
+    lowest corpus id) or is 'unique' against the corpus. Within-batch
+    near-dup is the pair query run on the batch alone; corpus-side
+    self-pairs are never generated here — candidates are
+    batch-probes × corpus-index bucket hits only, so probe cost is
+    O(batch × bucket hit rate), independent of corpus size.
+
+    Scale posture: the corpus band table is written once (bucketed by
+    band_key at 100 TB so the probe join is co-located); the batch
+    side is one map-only Arrow signature pass over new docs. The
+    verification join touches only candidate pairs' shingle arrays,
+    and the best-match window partitions by batch doc — batch-sized,
+    never corpus-sized. The oracle replays the FULL pair pipeline and
+    filters to boundary-straddling pairs, so this query's cheaper
+    candidate generation is differentially proven equivalent."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = _shingle_arrays(spark, sf_dir)
+    bands = _band_table(sh)
+    corpus_idx = bands.filter(F.col("doc_id") < N_OLD).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_key"
+    )
+    probes = bands.filter(F.col("doc_id") >= N_OLD)
+    cand = (
+        probes.join(corpus_idx, "band_key")
+        .select("doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    shb = sh.select(F.col("doc_id"), F.col("shingles").alias("sh_new"))
+    shc = sh.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_old")
+    )
+    common = F.size(F.array_intersect("sh_new", "sh_old")).cast("bigint")
+    verified = (
+        cand.join(shb, "doc_id")
+        .join(shc, "corpus_doc_id")
+        .select(
+            "doc_id",
+            "corpus_doc_id",
+            (
+                common
+                / (
+                    F.size("sh_new").cast("bigint")
+                    + F.size("sh_old").cast("bigint")
+                    - common
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_doc_id")
+    )
+    best = verified.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        docs.filter(F.col("doc_id") >= N_OLD)
+        .select("doc_id")
+        .join(best.select("doc_id", "corpus_doc_id", "jaccard"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("corpus_doc_id").alias("matched_doc_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            F.when(
+                F.col("corpus_doc_id").isNotNull(), F.lit("near_dup_of_corpus")
+            )
             .otherwise(F.lit("unique"))
             .alias("status"),
         )

@@ -485,3 +485,29 @@ def test_containment_matches_model(spark, tmp_path_factory, texts):
     }
     want = _containment_model(texts, D.SHINGLE_K, D.CONTAINMENT_THRESHOLD)
     assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
+
+
+def test_incremental_minhash_classifies_batch(spark, tmp_path_factory):
+    """A batch doc that near-dups a corpus doc matches it; an
+    unrelated batch doc is unique; corpus docs never appear."""
+    rows = [
+        (10, BASE, "en", "s", 1),                              # corpus
+        (11, "some other corpus text about different things entirely "
+             "with many extra words to shingle", "en", "s", 1),
+        (450, BASE.replace("warm", "cold"), "en", "s", 1),     # batch near-dup
+        (451, "completely novel content nothing like anything else "
+              "in the corpus at all whatsoever", "en", "s", 1),
+    ]
+    d = tmp_path_factory.mktemp("incmh")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in
+           D.dedup_incremental_minhash(spark, str(d)).collect()}
+    assert set(out) == {450, 451}
+    assert out[450]["status"] == "near_dup_of_corpus"
+    assert out[450]["matched_doc_id"] == 10
+    assert out[450]["best_jaccard"] >= D.JACCARD_THRESHOLD
+    assert out[451]["status"] == "unique"
+    assert out[451]["matched_doc_id"] is None
