@@ -54,6 +54,8 @@ HEADLINE = [
     "events_bitmap_retention",  # late r3: 8-bytes-per-user bitmap retention
     "events_dau_rolling",  # late r3: distinct-over-sliding-window actives
     "orders_rfm_segments",  # late r3: reduce-then-rank RFM quartiles
+    "dedup_incremental_minhash",  # late r3: ingest probe of the corpus LSH index
+    "events_value_percentiles",  # late r3: exact grouped p50/p90/p99 by rank
 ]
 
 
