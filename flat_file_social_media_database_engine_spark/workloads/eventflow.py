@@ -1168,7 +1168,12 @@ _ROLLING_DAYS = 7
     "events_dau_rolling",
     oracle=f"""
     WITH ud AS (
+      -- NULL user_id (logged-out traffic) is not an active USER;
+      -- also count(DISTINCT u.user_id) would drop it on the wau side
+      -- while the dau side's count(*) kept it — asymmetric without
+      -- the explicit filter.
       SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      WHERE user_id IS NOT NULL
     ),
     days AS (SELECT DISTINCT day FROM ud),
     dau AS (
@@ -1207,9 +1212,9 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The pair table is users×days — tiny relative to events — so one
     # spill-safe persist beats a second corpus pass at any scale.
     ud = materialize(
-        events.select(
-            F.date_trunc("day", "ts").alias("day"), "user_id"
-        ).distinct()
+        events.filter(F.col("user_id").isNotNull())  # see oracle note
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
     )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
     contrib = (
@@ -1248,7 +1253,10 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      -- NULL values are excluded from the rank (standard percentile
+      -- semantics); without the filter the engines also disagree on
+      -- where NULL sorts (Spark NULLS FIRST vs DuckDB NULLS LAST).
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -1279,7 +1287,12 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group: per-(group, bucket) counts locate the bucket holding
     rank ceil(p·n), then only that bucket sorts). This entry is the
     exactness contract those optimizations must reproduce."""
-    events = read_table(spark, sf_dir, "events")
+    events = read_table(spark, sf_dir, "events").filter(
+        # exclude NULL metric values from the rank — standard
+        # percentile semantics, and the engines disagree on NULL sort
+        # placement (Spark NULLS FIRST asc vs DuckDB NULLS LAST)
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
     ranked = events.select(

@@ -46,11 +46,21 @@ _FP_MULT = 31  # acc*31 + x never overflows int64
 
 def _tokens(col: str = "text") -> Column:
     """Whitespace tokenization (the BPE-ish regex split: any run of
-    whitespace is one separator; leading/trailing trimmed first)."""
-    return F.split(F.trim(F.col(col)), r"\s+")
+    whitespace is one separator; leading/trailing trimmed first).
+
+    NULL text ≡ empty string, tier-wide: the Arrow shingle pass
+    already mapped None→"" (``_shingles_udf``), but the JVM
+    expression propagated NULL — and DuckDB's ``list_prepend(seed,
+    NULL)`` folds NULL lists to the seed while Spark's ``aggregate``
+    returns NULL, so null text silently diverged cross-engine
+    (caught by tests/test_null_robustness.py). Coalescing at the one
+    tokenizer both engines share makes every downstream text query
+    treat null text exactly like empty text; non-null rows are
+    bit-unchanged."""
+    return F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
 
 
-_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKENS_SQL = "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')"
 
 
 def _sql_in(words: tuple[str, ...]) -> str:
@@ -388,7 +398,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition_ratio",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
       FROM documents
     ),
     m AS (
@@ -443,7 +453,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT source, lang,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS BIGINT)
                  AS n_tokens,
              CAST(length(text) AS BIGINT) AS n_chars
       FROM documents
