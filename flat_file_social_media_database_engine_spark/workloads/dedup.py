@@ -1035,19 +1035,36 @@ _SPAN_REMOVAL_CTES = f"""
     )"""
 
 
+def _dup_occurrences(grams: DataFrame) -> DataFrame:
+    """Occurrences of gram hashes that appear >= 2 times corpus-wide,
+    via a LEFT SEMI join against the filtered hash set. The semi join
+    and the count share the same h-partitioned exchange of ``grams``
+    (ReusedExchange), and every downstream consumer (window, per-doc
+    aggs) now processes only the duplicated occurrences instead of
+    the whole gram table — at real dup rates that is a small fraction
+    of the corpus."""
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup_h = cnt.filter(F.col("c") >= 2).select("h")
+    return grams.join(dup_h, "h", "left_semi")
+
+
 def _noncanonical_removal(grams: DataFrame) -> DataFrame:
     """Distinct (doc_id, p) token positions covered by NON-canonical
     duplicated-gram occurrences (canonical = corpus-wide lowest
     (doc_id, pos) per gram hash) — the single Spark statement of the
-    canonical-keep rule; ``_SPAN_REMOVAL_CTES`` is its SQL twin."""
+    canonical-keep rule; ``_SPAN_REMOVAL_CTES`` is its SQL twin.
+
+    The semi-join prefilter (``_dup_occurrences``) means the
+    row_number window sorts only duplicated occurrences; every
+    occurrence of a duplicated hash survives the filter, so per-h
+    rank order is unchanged."""
     from pyspark.sql import Window
 
-    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("h").orderBy("doc_id", "pos")
     nc = (
-        grams.join(cnt, "h")
+        _dup_occurrences(grams)
         .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("c") >= 2) & (F.col("rn") > 1))
+        .filter(F.col("rn") > 1)
         .select("doc_id", "pos")
     )
     return nc.select(
@@ -1127,43 +1144,55 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture — the classic distributed exact-substring-dedup
     shape: gram generation is map-only off the token arrays; the
     occurrence count is ONE map-side-combined shuffle keyed on an
-    8-byte gram hash (never the gram text); the duplicate flags come
-    back through a join on that same key, so AQE can plan both sides
-    from the same exchange; coverage is a bounded <= {SPAN_K}x explode
-    of only the duplicated positions, combined per doc. Nothing holds
-    a whole document's grams in one row past the map stage, so row
-    width stays O(1) at any corpus size. "Duplicated" is defined on
-    the 60-bit gram hash identically in both engines, so the oracle
-    is a true differential of the whole pipeline, not a
-    reimplementation detail."""
+    8-byte gram hash (never the gram text); duplicate flags come back
+    as a LEFT SEMI join against the (c >= 2)-filtered hash set on the
+    SAME key (ReusedExchange — and the semi build side is the rare
+    fraction, not the corpus); ``n_grams`` per doc is arithmetic
+    (``max(n_tokens - K + 1, 0)`` by construction — no aggregation
+    over the full gram table at all); and distinct-covered-token
+    counting is an interval-union fold over each doc's SORTED
+    duplicated positions INSIDE the one per-doc aggregation — no
+    explode, no distinct, no second shuffle. Per-doc collect_list
+    rows are bounded by document length (the same bound as the
+    document row itself), so row width stays O(doc) at any corpus
+    size. "Duplicated" is defined on the 60-bit gram hash identically
+    in both engines, so the oracle is a true differential of the
+    whole pipeline, not a reimplementation detail."""
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _tokens().alias("toks"))
     n = F.size("toks")
     grams = _span_grams(spark, sf_dir)
-    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    j = grams.join(cnt, "h")
-    stats = j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+    dup = _dup_occurrences(grams)
+    # Union of [pos, pos+K-1] intervals over the sorted positions ==
+    # count of DISTINCT covered token positions (what the oracle's
+    # unnest+DISTINCT computes), as a pure JVM fold.
+    k1 = F.lit(SPAN_K - 1).cast("bigint")
+    covered = F.aggregate(
+        F.array_sort(F.collect_list(F.col("pos").cast("bigint"))),
+        F.struct(
+            F.lit(0).cast("bigint").alias("cov"),
+            F.lit(0).cast("bigint").alias("hi"),
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["cov"]
+                + F.greatest(p + k1 - F.greatest(acc["hi"], p - 1), F.lit(0))
+            ).alias("cov"),
+            F.greatest(acc["hi"], p + k1).alias("hi"),
+        ),
+        lambda acc: acc["cov"],
     )
-    cov = (
-        j.filter(F.col("c") >= 2)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("p"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    dstats = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        covered.alias("n_dup_tokens"),
     )
     return (
         tok.select("doc_id", n.cast("bigint").alias("n_tokens"))
-        .join(stats, "doc_id", "left")
-        .join(cov, "doc_id", "left")
+        .join(dstats, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.greatest(F.col("n_tokens") - SPAN_K + 1, F.lit(0)).alias("n_grams"),
             F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
             F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
             (F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens")).alias(
