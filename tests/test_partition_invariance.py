@@ -1,0 +1,66 @@
+"""Partition-count invariance: query results must not depend on how
+the engine partitions the shuffle.
+
+On a real cluster the partition count is an ops knob (executor count,
+AQE target size) that changes run to run — any query whose OUTPUT
+changes with it is broken in a way small-fixture oracle checks can
+miss (order-dependent aggregation folds, tie-breaks resolved by
+arrival order, per-partition rank/window logic leaking partition
+boundaries). ``spark.sql.shuffle.partitions`` is a runtime conf, so
+the same session can answer the same query under different layouts;
+the value-hash compare is the driver's own (sorted columns + sorted
+rows), so ROW ORDER is allowed to differ — values are not.
+
+The query set is the order-sensitive surface: window functions
+(rank/ntile/lag), rank-selection percentiles, sorted interval-union
+folds, LSH bucket joins, iterative connected components, two-phase
+top-k, and the global sort. Map-only projections are structurally
+invariant and excluded to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.selfcheck import value_hash
+
+# Order-sensitive queries: every one runs a window, sort, fold,
+# iterative loop, or bucketed self-join whose per-partition execution
+# order could plausibly leak into values if a tie-break were missing.
+INVARIANCE_SET = [
+    "events_sessionize",
+    "o3_window_suite",
+    "events_value_percentiles",
+    "dedup_span_exact",
+    "docs_strip_dup_spans",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "sim_topk_bruteforce",
+    "sim_neardup_lsh",
+    "orders_rfm_segments",
+    "a5_median_totalprice",
+    "o1_multikey_sort",
+    "events_dau_rolling",
+    "docs_pack_sequences",
+]
+
+
+@pytest.mark.parametrize("name", INVARIANCE_SET)
+def test_result_invariant_under_shuffle_partition_count(spark, sf_small, name):
+    qs = entrymod.queries()
+    fn = qs[name]
+    key = "spark.sql.shuffle.partitions"
+    baseline = spark.conf.get(key)
+    try:
+        ref = value_hash(fn(spark, sf_small).toPandas())
+        for parts in ("3", "1"):
+            spark.conf.set(key, parts)
+            got = value_hash(fn(spark, sf_small).toPandas())
+            assert got == ref, (
+                f"{name}: value hash changed when {key} went "
+                f"{baseline} -> {parts} — output depends on the "
+                f"shuffle layout"
+            )
+    finally:
+        spark.conf.set(key, baseline)
