@@ -38,7 +38,16 @@ def materialize(
     return out
 
 
-_SESSION_CACHE_LOCK = threading.Lock()
+# REENTRANT by requirement, not convenience: shared passes are
+# layered (the verified-pair-set build consumes the shingle-array
+# cache; composed queries consume both), so one thread's cold build
+# legitimately re-enters session_cached for its dependency. With a
+# plain Lock that order DEADLOCKS — and it is a real order, hit the
+# first time a session's first query is a downstream consumer like
+# dedup_clusters (callers may invoke queries() entries in any order).
+# Pinned by tests/test_durability.py::test_session_cached_nested_build
+# and the cold-order end-to-end test beside it.
+_SESSION_CACHE_LOCK = threading.RLock()
 
 
 def session_cached(cache: dict, spark, sf_dir: str, build):

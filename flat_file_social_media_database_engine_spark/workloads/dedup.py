@@ -697,9 +697,10 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cc_oracle() -> str:
-    # DuckDB twin: recursive transitive closure (the fixture pair
-    # graph is tiny; the driver runs oracles at sf0.01).
+def _cc_ctes() -> str:
+    # Recursive-transitive-closure CTE chain ending in ``lab``
+    # (doc_id, cluster_id) — shared by the clustering oracle and the
+    # keep-best oracle so the closure definition can never drift.
     body = _lsh_pairs_ctes().lstrip()
     assert body.startswith("WITH ")
     return f"""
@@ -719,7 +720,14 @@ def _cc_oracle() -> str:
              least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
       FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
       GROUP BY d.doc_id
-    )
+    )"""
+
+
+def _cc_oracle() -> str:
+    # DuckDB twin: recursive transitive closure (the fixture pair
+    # graph is tiny; the driver runs oracles at sf0.01).
+    return f"""
+    {_cc_ctes()}
     SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
            doc_id = cluster_id AS is_canonical
     FROM lab
@@ -758,6 +766,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection: production dedup keeps the BEST
+# member of each near-dup cluster, not the lowest id — the usual rule
+# is longest-document-first (more content survives), with a stable id
+# tiebreak. Composes directly on the clustering so the two can never
+# disagree about membership.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    {_cc_ctes()},
+    tokc AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT l.doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           t.n_tokens,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY t.n_tokens DESC, l.doc_id) = 1
+               AS is_kept
+    FROM lab l JOIN tokc t USING (doc_id)
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster survivor selection by quality: within each near-dup
+    cluster keep the LONGEST document (token count), tie-broken by
+    lowest doc_id — the keep-best rule production dedup uses instead
+    of ``dedup_clusters``' keep-lowest-id canonical flag.
+
+    Scale posture: reuses the clustering output (which itself rides
+    the session-cached verified-pair materialization), joins one
+    integer token count per doc, and ranks inside clusters — window
+    partitions are CLUSTER-sized (bounded by the duplicate-group
+    size, overwhelmingly 1), never corpus-sized, so the rank is a
+    skew-free shuffle on cluster_id at any corpus scale."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = read_table(spark, sf_dir, "documents")
+    tokc = docs.select(
+        "doc_id", F.size(_tokens()).cast("bigint").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(tokc, "doc_id")
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_tokens", "is_kept")
     )
 
 

@@ -801,6 +801,121 @@ def events_next_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Top session paths: the sequence-mining upgrade of the transition
+# matrix — whole per-session event-type journeys (first PATH_LEN
+# events), counted corpus-wide, top-20. Funnel asks "did THIS pattern
+# complete", the transition matrix asks "one step from X", this asks
+# "what are the dominant journeys" — the discovery query that tells
+# you WHICH funnels to define.
+# ---------------------------------------------------------------------------
+PATH_LEN = 8  # bound per-session path width (row width stays O(1))
+PATH_TOPK = 20
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM flagged
+    ),
+    numbered AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sessions
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(list(event_type ORDER BY rn), ' > ') AS path
+      FROM numbered WHERE rn <= {PATH_LEN}
+      GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {PATH_TOPK}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOPK} per-session event-type journeys (first
+    {PATH_LEN} events per session, ' > '-joined), with session and
+    distinct-user counts.
+
+    Plan shape: the SAME one user-keyed shuffle as sessionize serves
+    all three stacked windows (gap flag, running session id, within-
+    session rank — identical partitioning, so Catalyst plans one
+    exchange); per-session paths build via an rn-sorted collect_list
+    whose width is capped at {PATH_LEN} entries; path counts map-side
+    combine; and the final top-k is orderBy+limit, which Spark
+    executes as TakeOrderedAndProject — per-partition heaps + a
+    k-row driver merge, never a global sort. The (n_sessions DESC,
+    path ASC) order is total, so the k-boundary is deterministic
+    cross-engine."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (
+                _epoch_us("ts") - F.lag(_epoch_us("ts")).over(w)
+                > F.lit(SESSION_GAP_US)
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wsum))
+    numbered = sessions.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    )
+    paths = (
+        numbered.filter(F.col("rn") <= PATH_LEN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                " > ",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min-sketch heavy hitters: the sketch a 100 TB stream runs when
 # exact per-key counts don't fit — d x w counters bound memory at
 # d*w*8 bytes REGARDLESS of key cardinality, estimates overcount but

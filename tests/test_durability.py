@@ -431,6 +431,74 @@ def test_session_cached_builds_once_under_concurrency(spark):
     assert len(builds) == 2
 
 
+def test_session_cached_nested_build(spark):
+    """A cold build that itself consumes another session cache must
+    not deadlock: shared passes are layered (the verified-pair-set
+    build reads the shingle-array cache), and the first query of a
+    session can be a downstream consumer — so the cache lock must be
+    reentrant. Run the nested call on a worker thread with a timeout
+    so a regression fails fast instead of hanging the suite."""
+    import threading
+
+    from flat_file_social_media_database_engine_spark.plans.materialize import (
+        session_cached,
+    )
+
+    outer_cache: dict = {}
+    inner_cache: dict = {}
+    out: list = []
+
+    def inner_build():
+        return "inner"
+
+    def outer_build():
+        return session_cached(inner_cache, spark, "/tmp/nested", inner_build) + "+outer"
+
+    def worker():
+        out.append(session_cached(outer_cache, spark, "/tmp/nested", outer_build))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "session_cached deadlocked on a nested build"
+    assert out == ["inner+outer"]
+
+
+def test_cold_session_cache_order_independent(spark, tmp_path):
+    """End-to-end twin of the nested-build pin: the FIRST query run
+    against a dataset dir is the layered downstream consumer
+    (dedup_clusters -> pair-set build -> shingle cache). A fresh
+    tmp-dir copy of the fixture guarantees every session cache is
+    cold for its key regardless of what earlier tests built. A
+    timeout thread turns a deadlock regression into a fast failure."""
+    import shutil
+    import threading
+
+    from flat_file_social_media_database_engine_spark.workloads.dedup import (
+        dedup_clusters,
+    )
+
+    src = "/root/testdata/sf0.001"
+    data_dir = tmp_path / "cold"
+    data_dir.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", data_dir / f"{t}.parquet")
+
+    out: list = []
+
+    def worker():
+        out.append(dedup_clusters(spark, str(data_dir)).count())
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    th.join(timeout=240)
+    assert not th.is_alive(), (
+        "cold-order dedup_clusters hung — nested session-cache build "
+        "deadlock is back"
+    )
+    assert out and out[0] > 0
+
+
 def test_vacuum_reclaims_unreferenced_keeps_carried_references(store, spark):
     """VACUUM deletes only data unreachable from retained manifests:
     the current read is byte-identical, a table carried by reference
