@@ -173,6 +173,54 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Correlated-subquery shape, decorrelated: "orders above 1.5x their
+# own customer's average" is the classic per-row-vs-own-group
+# predicate (TPC-H Q17/Q22 family). The naive form re-aggregates per
+# probe row; the engine form is ONE window over the custkey exchange
+# — the aggregate and the probe share a single shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    WHERE o_totalprice > 1.5 * cust_avg
+    """,
+)
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above 1.5x their customer's average order value:
+    (o_orderkey, o_custkey, o_totalprice, cust_avg).
+
+    Scale posture: the correlated subquery decorrelates into one
+    window over partitionBy(o_custkey) — a single custkey exchange
+    computes the per-customer aggregate AND evaluates the per-row
+    predicate; no self-join, no second scan. The average divides a
+    DECIMAL-exact sum by an exact count, so the 1.5x comparison is
+    bit-identical cross-engine. Per-customer partitions are
+    order-count-sized (bounded), never corpus-sized."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", cust_avg.alias("cust_avg")
+        )
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1 writ large: single-pass conditional multi-count over one scan.
 # ---------------------------------------------------------------------------
 @query(

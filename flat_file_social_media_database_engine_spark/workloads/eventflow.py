@@ -801,6 +801,75 @@ def events_next_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Date-spine gap filling: reporting rollups must emit a row for EVERY
+# day in the observed range, including zero-activity days (a missing
+# row and a zero row are different facts to a dashboard / anomaly
+# model). The spine generates from the corpus min/max — metadata-
+# scale — and the daily aggregate joins onto it.
+# ---------------------------------------------------------------------------
+@query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS mn,
+             date_trunc('day', max(ts)) AS mx
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event rollup over a DENSE date spine: one row per
+    calendar day from the corpus's first to last event, zero-filled
+    on silent days — the gap-filling shape every reporting /
+    anomaly-detection rollup needs (a missing day must surface as an
+    explicit zero, not an absent row).
+
+    Scale posture: the spine derives from ONE map-side-combined
+    min/max aggregate (a single row) exploded into ~days rows —
+    metadata-scale regardless of corpus size; the daily aggregate is
+    the same one-shuffle rollup as events_hourly_rollup; the
+    gap-fill join broadcasts the spine (days-count rows) against the
+    aggregate, so no corpus-sized side ever reshuffles."""
+    events = read_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("mn"),
+        F.date_trunc("day", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Top session paths: the sequence-mining upgrade of the transition
 # matrix — whole per-session event-type journeys (first PATH_LEN
 # events), counted corpus-wide, top-20. Funnel asks "did THIS pattern

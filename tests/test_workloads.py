@@ -223,3 +223,35 @@ def test_dau_rolling_counts_repeat_users_once(spark, tmp_path_factory):
     assert out[1]["dau"] == 2 and out[2]["dau"] == 1
     assert out[1]["wau"] == 2          # partial leading window
     assert out[2]["wau"] == 2          # user 1 counted ONCE, not twice
+
+
+def test_daily_gapfill_emits_zero_rows_for_silent_days(spark, tmp_path_factory):
+    """The driver fixture has events on every day, so the zero-fill
+    branch never fires there — plant a 5-day range with two silent
+    days and assert they surface as explicit zero rows."""
+    from datetime import datetime
+
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_daily_gapfill,
+    )
+
+    rows = [
+        (1, datetime(2024, 3, 1, 10), 1, "view", 2.5, "{}"),
+        (2, datetime(2024, 3, 2, 11), 2, "view", 1.0, "{}"),
+        # March 3-4 silent
+        (3, datetime(2024, 3, 5, 9), 1, "click", 4.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("gapfill")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    out = {r["day"].day: r for r in events_daily_gapfill(spark, str(d)).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]  # dense spine, inclusive bounds
+    for silent in (3, 4):
+        assert out[silent]["n_events"] == 0
+        assert out[silent]["sum_value"] == 0.0
+    assert out[1]["n_events"] == 1 and out[1]["sum_value"] == 2.5
+    assert out[5]["sum_value"] == 4.0
