@@ -1134,6 +1134,38 @@ def _noncanonical_removal(grams: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _interval_union_count(positions, width: int):
+    """Count of DISTINCT integer points covered by the union of
+    ``[p, p + width - 1]`` intervals, as a pure JVM fold over the
+    SORTED position array — equivalent to (and replacing) the
+    explode + distinct + count shape, with zero extra shuffles.
+
+    ``positions`` is an unsorted bigint-array column (e.g. a
+    ``collect_list``) of values >= 1 (the accumulator's high-water
+    mark starts at 0, i.e. "nothing at or below 0 covered" — gram
+    positions are 1-based); the fold sorts it and carries
+    (covered_count, highest_covered) through each interval, adding
+    only the part of the new interval past the running high-water
+    mark. Property-tested against a pure-Python set-union model in
+    tests/test_property_ops.py."""
+    k1 = F.lit(width - 1).cast("bigint")
+    return F.aggregate(
+        F.array_sort(positions),
+        F.struct(
+            F.lit(0).cast("bigint").alias("cov"),
+            F.lit(0).cast("bigint").alias("hi"),
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["cov"]
+                + F.greatest(p + k1 - F.greatest(acc["hi"], p - 1), F.lit(0))
+            ).alias("cov"),
+            F.greatest(acc["hi"], p + k1).alias("hi"),
+        ),
+        lambda acc: acc["cov"],
+    )
+
+
 _SPAN_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1224,28 +1256,11 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("toks")
     grams = _span_grams(spark, sf_dir)
     dup = _dup_occurrences(grams)
-    # Union of [pos, pos+K-1] intervals over the sorted positions ==
-    # count of DISTINCT covered token positions (what the oracle's
-    # unnest+DISTINCT computes), as a pure JVM fold.
-    k1 = F.lit(SPAN_K - 1).cast("bigint")
-    covered = F.aggregate(
-        F.array_sort(F.collect_list(F.col("pos").cast("bigint"))),
-        F.struct(
-            F.lit(0).cast("bigint").alias("cov"),
-            F.lit(0).cast("bigint").alias("hi"),
-        ),
-        lambda acc, p: F.struct(
-            (
-                acc["cov"]
-                + F.greatest(p + k1 - F.greatest(acc["hi"], p - 1), F.lit(0))
-            ).alias("cov"),
-            F.greatest(acc["hi"], p + k1).alias("hi"),
-        ),
-        lambda acc: acc["cov"],
-    )
     dstats = dup.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_grams"),
-        covered.alias("n_dup_tokens"),
+        _interval_union_count(
+            F.collect_list(F.col("pos").cast("bigint")), SPAN_K
+        ).alias("n_dup_tokens"),
     )
     return (
         tok.select("doc_id", n.cast("bigint").alias("n_tokens"))

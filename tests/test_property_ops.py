@@ -164,3 +164,49 @@ def test_asof_attribution_matches_model(spark, rows, tmp_path_factory):
         else:
             want[i] = (None, None)
     assert got == want
+
+
+def test_interval_union_fold_matches_set_model(spark):
+    """`_interval_union_count` (the JVM fold replacing the span
+    family's explode+distinct coverage count) vs the obvious
+    pure-Python set-union model, over hypothesis-generated position
+    multisets — duplicates, overlaps, gaps, and singletons included.
+    All examples evaluate in ONE Spark job (one row each)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+    from flat_file_social_media_database_engine_spark.workloads.dedup import (
+        _interval_union_count,
+    )
+
+    cases: list[tuple[list[int], int]] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=60), max_size=25),
+        st.integers(min_value=1, max_value=9),
+    )
+    def collect(positions, width):
+        cases.append((positions, width))
+
+    collect()
+
+    by_width: dict[int, list[list[int]]] = {}
+    for positions, width in cases:
+        by_width.setdefault(width, []).append(positions)
+
+    for width, plists in by_width.items():
+        df = spark.createDataFrame(
+            [(i, ps) for i, ps in enumerate(plists)],
+            "case_id int, positions array<bigint>",
+        )
+        got = {
+            r["case_id"]: r["cov"]
+            for r in df.select(
+                "case_id",
+                _interval_union_count(F.col("positions"), width).alias("cov"),
+            ).collect()
+        }
+        for i, ps in enumerate(plists):
+            want = len({q for p in ps for q in range(p, p + width)})
+            assert got[i] == want, (ps, width, got[i], want)
