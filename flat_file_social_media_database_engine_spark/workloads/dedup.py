@@ -454,6 +454,29 @@ def _band_table(sh: DataFrame) -> DataFrame:
     )
 
 
+def _band_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct candidate (doc_id_a, doc_id_b) pairs sharing any LSH
+    band bucket — the shared candidate FRONT of every near-dup
+    verifier (Jaccard, edit-distance): the self-join shuffles the
+    8-byte band key only, bucket sizes are LSH collision sets, and
+    the distinct collapses multi-band hits before any verification
+    work. Mirrors the oracle chain's ``cand`` CTE."""
+    bands = _band_table(sh)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+
 def _lsh_pairs_ctes() -> str:
     """All CTEs of the MinHash-LSH pipeline, ending in ``lsh_pairs``
     (the verified near-dup pair set) — shared by the pair query's
@@ -540,21 +563,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one generate identical candidate PAIRS (see module
     docstring)."""
     sh = _shingle_arrays(spark, sf_dir)
-    bands = _band_table(sh)
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
-        )
-        .distinct()
-    )
+    cand = _band_candidates(sh)
 
     sha = sh.select(
         F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
@@ -595,6 +604,84 @@ def lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: materialize(dedup_minhash_lsh(spark, sf_dir)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup: the character-level verifier of the dedup
+# family. Shingle Jaccard under-scores small in-place edits spread
+# through a doc (every touched shingle dies); Levenshtein prices them
+# directly. Same banded-LSH candidate front; exact integer metric.
+# ---------------------------------------------------------------------------
+EDIT_REL_DEN = 5  # keep pairs with edit_dist <= 1/5 of the longer text
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    {_lsh_pairs_ctes()},
+    nt AS (
+      SELECT doc_id, {_NORM_SQL} AS ntext FROM documents
+    )
+    SELECT c.doc_id_a, c.doc_id_b,
+           CAST(levenshtein(a.ntext, b.ntext) AS BIGINT) AS edit_dist,
+           CAST(len(a.ntext) AS BIGINT) AS len_a,
+           CAST(len(b.ntext) AS BIGINT) AS len_b,
+           CAST(levenshtein(a.ntext, b.ntext) AS DOUBLE)
+             / greatest(len(a.ntext), len(b.ntext), 1) AS rel_dist
+    FROM cand c
+    JOIN nt a ON a.doc_id = c.doc_id_a
+    JOIN nt b ON b.doc_id = c.doc_id_b
+    WHERE levenshtein(a.ntext, b.ntext) * {EDIT_REL_DEN}
+          <= greatest(len(a.ntext), len(b.ntext))
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by NORMALIZED-text Levenshtein distance ≤ 20%
+    of the longer text: (doc_id_a, doc_id_b, edit_dist, len_a, len_b,
+    rel_dist). The character-level member of the dedup family —
+    catches small in-place edits that kill every touched shingle and
+    so under-score under Jaccard.
+
+    Scale posture: candidates come ONLY from the shared banded-LSH
+    front (``_band_candidates`` — the same bucket join every other
+    near-dup verifier rides; never all-pairs), and a LENGTH prefilter
+    runs before any Levenshtein: ``dist >= |len_a - len_b|``, so a
+    pair whose length gap already exceeds the threshold skips the
+    O(len²) metric entirely — lengths are a projected column, the
+    metric is not. The relative threshold compares exact integers
+    (``dist * {EDIT_REL_DEN} <= max_len``), and ``rel_dist`` divides
+    the same exact integers once, so both engines agree bitwise. The
+    Levenshtein itself is cross-engine differential (Spark JVM vs
+    DuckDB), not replayed from a shared hash."""
+    cand = _band_candidates(_shingle_arrays(spark, sf_dir))
+    docs = read_table(spark, sf_dir, "documents")
+    nt = docs.select("doc_id", _norm().alias("ntext"))
+    a = nt.select(F.col("doc_id").alias("doc_id_a"), F.col("ntext").alias("ta"))
+    b = nt.select(F.col("doc_id").alias("doc_id_b"), F.col("ntext").alias("tb"))
+    la = F.length("ta").cast("bigint")
+    lb = F.length("tb").cast("bigint")
+    longest = F.greatest(la, lb)
+    dist = F.levenshtein("ta", "tb").cast("bigint")
+    return (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        # necessary condition on lengths alone — prunes before the
+        # O(len^2) metric; implied by the final threshold, so the
+        # oracle's single WHERE is semantically identical
+        .filter((longest - F.least(la, lb)) * EDIT_REL_DEN <= longest)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            dist.alias("edit_dist"),
+            la.alias("len_a"),
+            lb.alias("len_b"),
+            (
+                dist.cast("double")
+                / F.greatest(la, lb, F.lit(1).cast("bigint")).cast("double")
+            ).alias("rel_dist"),
+        )
+        .filter(F.col("edit_dist") * EDIT_REL_DEN <= F.greatest("len_a", "len_b"))
     )
 
 
