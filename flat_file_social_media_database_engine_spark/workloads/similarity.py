@@ -1836,3 +1836,97 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="outlier_rank",
     )
     return ranked.select("vec_id", "cell", "dist2", "outlier_rank")
+
+
+# ---------------------------------------------------------------------------
+# Per-DIMENSION embedding moments: the degenerate-dimension report.
+# sim_embedding_stats QAs per-label norms (row-wise health); this QAs
+# the COLUMNS of the embedding matrix — a dead dim (near-zero
+# variance) or a saturated dim shows up here before it silently
+# wastes every downstream ANN/dedup byte. Moments are computed on
+# 1e-6-quantized values (floor to integer micro-units) so every sum
+# is exact integer arithmetic and both engines agree bitwise —
+# float64 accumulation order would otherwise diverge cross-engine.
+# min/max/zero-count are comparison-only and run on the raw floats.
+# ---------------------------------------------------------------------------
+_DIM_Q = 1_000_000  # micro-unit quantization for exact moment sums
+
+
+@query(
+    "sim_dim_stats",
+    oracle=f"""
+    WITH x AS (
+      SELECT i AS dim,
+             CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    ),
+    q AS (
+      SELECT dim, x, CAST(floor(x * {_DIM_Q}) AS BIGINT) AS xq FROM x
+    )
+    SELECT dim,
+           count(*) AS n,
+           CAST(sum(xq) AS BIGINT) AS sum_q,
+           CAST(sum(xq * xq) AS BIGINT) AS sumsq_q,
+           CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / {_DIM_Q}
+               AS mean,
+           (CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE) / count(*)
+              - (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*))
+                * (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)))
+             / {_DIM_Q} / {_DIM_Q} AS var,
+           min(x) AS min_x,
+           max(x) AS max_x,
+           CAST(count(*) FILTER (WHERE x = 0.0) AS BIGINT) AS n_zero
+    FROM q
+    GROUP BY dim
+    """,
+)
+def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment report over the embedding matrix columns:
+    (dim, n, sum_q, sumsq_q, mean, var, min_x, max_x, n_zero) — the
+    QA query that catches dead (near-zero-variance), saturated, or
+    sparsity-skewed dimensions before ANN/dedup compute is spent.
+
+    Exactness contract: moments accumulate 1e-6-quantized integers
+    (``floor(x * 1e6)`` — float→double is exact, the multiply and
+    floor are single IEEE ops, so both engines quantize identically),
+    making every sum exact BIGINT arithmetic; mean/var then divide
+    those exact integers once in double. min/max/zero-count compare
+    raw values — no arithmetic at all. At larger-than-2^63 scale the
+    integer sums become DECIMAL(38,0) casts; the quantized values
+    themselves are scale-free.
+
+    Plan shape: one posexplode (rows x 64) into ONE map-side-combined
+    groupBy on the dim id — 64 output rows regardless of corpus
+    size; no window, no join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        F.col("dim0").cast("bigint").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    xq = F.floor(F.col("x") * _DIM_Q).cast("bigint")
+    q = x.withColumn("xq", xq)
+    n = F.count(F.lit(1))
+    s = F.sum("xq").cast("bigint")
+    s2 = F.sum(F.col("xq") * F.col("xq")).cast("bigint")
+    mean_units = s.cast("double") / n
+    return (
+        q.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            s.alias("sum_q"),
+            s2.alias("sumsq_q"),
+            (mean_units / _DIM_Q).alias("mean"),
+            (
+                (s2.cast("double") / n - mean_units * mean_units)
+                / _DIM_Q
+                / _DIM_Q
+            ).alias("var"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+        )
+    )

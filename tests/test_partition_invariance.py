@@ -64,3 +64,26 @@ def test_result_invariant_under_shuffle_partition_count(spark, sf_small, name):
             )
     finally:
         spark.conf.set(key, baseline)
+
+
+@pytest.mark.parametrize("name", INVARIANCE_SET)
+def test_result_invariant_without_aqe(spark, sf_small, name):
+    """AQE rewrites plans at runtime (coalesced partitions, skew
+    splits, join-strategy swaps); none of that may change VALUES. The
+    engine runs AQE-on by policy — this pins that every
+    order-sensitive query produces the identical value-hash with the
+    whole adaptive layer disabled."""
+    qs = entrymod.queries()
+    fn = qs[name]
+    key = "spark.sql.adaptive.enabled"
+    baseline = spark.conf.get(key)
+    try:
+        ref = value_hash(fn(spark, sf_small).toPandas())
+        spark.conf.set(key, "false")
+        got = value_hash(fn(spark, sf_small).toPandas())
+        assert got == ref, (
+            f"{name}: value hash changed with AQE disabled — output "
+            "depends on adaptive re-planning"
+        )
+    finally:
+        spark.conf.set(key, baseline)
