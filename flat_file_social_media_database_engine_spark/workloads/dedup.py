@@ -1800,3 +1800,58 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((raw - stripped) / raw).alias("keep_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: WHERE duplicates come from. A
+# near-dup pair within one source is crawl noise; heavy mass between
+# two sources means one mirrors the other — the observability that
+# decides which ingest tier to deprioritize. Composes on the verified
+# pair set, so "duplicate" means exactly what the LSH pipeline means.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cross_source",
+    oracle=f"""
+    {_lsh_pairs_ctes()},
+    src AS (SELECT doc_id, source FROM documents),
+    m AS (
+      SELECT least(a.source, b.source) AS source_x,
+             greatest(a.source, b.source) AS source_y
+      FROM lsh_pairs p
+      JOIN src a ON a.doc_id = p.doc_id_a
+      JOIN src b ON b.doc_id = p.doc_id_b
+    )
+    SELECT source_x, source_y,
+           count(*) AS n_pairs,
+           source_x = source_y AS within_source
+    FROM m GROUP BY source_x, source_y
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pair counts by UNORDERED source pair:
+    (source_x, source_y, n_pairs, within_source) — the duplication
+    provenance matrix (within-source = crawl noise; cross-source =
+    mirroring).
+
+    Scale posture: rides the session-cached verified pair set (pairs
+    are LSH-bounded, not corpus-sized), joins the two doc sides
+    against a (doc_id, source) projection — both joins are on the
+    pair table's keys, the source projection broadcasts at dimension
+    scale — and the rollup is one map-side-combined groupBy whose
+    output is |sources|² rows at most."""
+    pairs = lsh_pairs_shared(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    docs = read_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(a), "doc_id_a")
+        .join(F.broadcast(b), "doc_id_b")
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("within_source", F.col("source_x") == F.col("source_y"))
+    )
