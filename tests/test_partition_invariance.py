@@ -43,6 +43,13 @@ INVARIANCE_SET = [
     "o1_multikey_sort",
     "events_dau_rolling",
     "docs_pack_sequences",
+    # continuation additions: rank/tie-break-bearing entries
+    "dedup_keep_best",
+    "events_top_paths",
+    "sim_topk_ivf",
+    "docs_domain_budget",
+    "sim_centroid_outliers",
+    "text_tfidf_topk",
 ]
 
 
