@@ -56,6 +56,9 @@ HEADLINE = [
     "orders_rfm_segments",  # late r3: reduce-then-rank RFM quartiles
     "dedup_incremental_minhash",  # late r3: ingest probe of the corpus LSH index
     "events_value_percentiles",  # late r3: exact grouped p50/p90/p99 by rank
+    "dedup_edit_distance",  # continuation: Levenshtein verify on the LSH front
+    "sim_dim_stats",  # continuation: exact per-dimension embedding moments
+    "events_top_paths",  # continuation: session journey mining (3 stacked windows)
 ]
 
 
