@@ -67,20 +67,14 @@ _VERIFY_FIRST = [
     "sim_neardup_cosine",
     "s5_snapshot_roundtrip",
     # new this round — never driver-verified
-    "dedup_source_stats",
     "pipeline_training_mix",
     "sim_kmeans_assign",
     "sim_topk_pq",
-    "events_anomaly_zscore",
     "sim_topk_ivf_kmeans",
     "sim_neardup_lsh",
     "text_bigram_lm_score",
     "m4_delete_upsert",
     "events_dedup_redelivery",
-    "o3_window_suite",
-    "a2_orders_cube",
-    "sample_train_split",
-    "m5_snapshot_diff",
     "sim_topk_lsh_multiprobe",
     "sim_topk_ivfpq",
     "text_tfidf_topk",
@@ -102,12 +96,45 @@ _VERIFY_FIRST = [
     "dedup_graph_stats",
     "docs_strip_dup_spans",
     "pipeline_dedup_corpus",
-    "events_bitmap_retention",
     # final r3 addition — fills the last free slot of the driver's
     # 50-row window (head was 49 deep)
     "docs_domain_budget",
+    # continuation additions (this session) — never driver-verified,
+    # each a DISTINCT machinery class: a new verifier family member
+    # (Levenshtein over the shared LSH front), a new exactness
+    # technique (quantized integer moments), sequence mining over
+    # stacked windows, quality-aware canonical ranking, decorrelated
+    # window predicate, date-spine gap fill, and pair-provenance
+    # rollup. Seven prior head entries whose machinery is a
+    # composition of shapes still in-window rotated to the tail head
+    # (see _STABLE_TAIL's leading block).
+    "dedup_edit_distance",
+    "sim_dim_stats",
+    "events_top_paths",
+    "dedup_keep_best",
+    "q_above_customer_avg",
+    "events_daily_gapfill",
+    "dedup_cross_source",
 ]
 _STABLE_TAIL = [
+    # Rotated out of the window for the continuation's seven new
+    # machinery classes (see _VERIFY_FIRST's closing block). Each is
+    # a COMPOSITION of primitives that remain in-window, plus full
+    # tail-pytest + two-scale selfcheck coverage this session:
+    # source_stats = groupBy count-distinct (dedup family in-window);
+    # o3 = window functions (rfm/percentile windows in-window);
+    # train_split = salted-hash map-only (domain budget in-window);
+    # m5 = m4's CRUD primitives (m4 in-window); bitmap_retention =
+    # events_retention's question (in-window); cube = rollup's
+    # grouping-sets twin; anomaly_zscore = exact-integer moments
+    # (now ALSO demonstrated in-window by sim_dim_stats).
+    "dedup_source_stats",
+    "o3_window_suite",
+    "sample_train_split",
+    "m5_snapshot_diff",
+    "events_bitmap_retention",
+    "a2_orders_cube",
+    "events_anomaly_zscore",
     # rotated out for mm_frame_stats (late r3): r2-green, its
     # digest-groupBy code path untouched by the r3 dedup.py changes
     # (shared pair cache / CC sizing), and bench-tracked per round
@@ -139,7 +166,7 @@ _STABLE_TAIL = [
     "j5_ri_sweep",
     "text_repetition_ratio",
     # a3's exact count-distinct shape is exercised in-window by
-    # dedup_source_stats (countDistinct per group)
+    # events_top_paths (countDistinct users per path group)
     "a3_distinct_counts",
     # rotated out for the round-3 additions that grew the head past
     # slot 50 (sim_neardup_lsh, text_bigram_lm_score, m4, redelivery):
