@@ -143,6 +143,7 @@ class SnapshotStore:
         changed: dict[str, DataFrame],
         partition_by: dict[str, list[str]] | None = None,
         cluster_by: dict[str, tuple[list[str], int]] | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Copy-on-write REPLACE: each changed table's file list is
         rewritten to one fresh directory (updates / renames / loads).
@@ -165,9 +166,17 @@ class SnapshotStore:
         cardinality columns (directories); clustering prunes on
         high-cardinality ones (timestamps, keys) without directory
         explosion. Composable with ``partition_by`` (cluster within
-        each partition)."""
+        each partition).
+
+        ``meta`` rides the same manifest commit as on ``append`` —
+        e.g. an incremental-rollup fold marker published atomically
+        with the folded state (plans/rollup.py)."""
         return self._publish(
-            changed, append=False, partition_by=partition_by, cluster_by=cluster_by
+            changed,
+            append=False,
+            partition_by=partition_by,
+            cluster_by=cluster_by,
+            meta=meta,
         )
 
     def append(

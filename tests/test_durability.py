@@ -588,3 +588,97 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
     cfiles = sorted(glob.glob(os.path.join(cpath, "part-*.parquet")))
     assert len(cfiles) > 1
     assert s.read("events").count() == want_rows + 10
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained rollup (plans/rollup.py)
+# ---------------------------------------------------------------------------
+def _rollup_fixture(spark, tmp_path):
+    from flat_file_social_media_database_engine_spark.plans.rollup import (
+        MaintainedRollup,
+    )
+
+    s = SnapshotStore(spark, str(tmp_path / "rstore"))
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, x long")
+
+    s.commit({"facts": batch([("a", 1), ("a", 2), ("b", 10)])})
+    r = MaintainedRollup(
+        s, "daily", "facts", ["k"],
+        {"total": ("sum", "x"), "n": ("count", "x"),
+         "lo": ("min", "x"), "hi": ("max", "x")},
+    )
+    return s, r, batch
+
+
+def _as_dict(df):
+    return {
+        row["k"]: (row["total"], row["n"], row["lo"], row["hi"])
+        for row in df.collect()
+    }
+
+
+def _full_recompute(spark, s):
+    from pyspark.sql import functions as F
+
+    return _as_dict(
+        s.read("facts")
+        .groupBy("k")
+        .agg(
+            F.sum("x").alias("total"), F.count("x").alias("n"),
+            F.min("x").alias("lo"), F.max("x").alias("hi"),
+        )
+    )
+
+
+def test_rollup_incremental_fold_matches_full_recompute(spark, tmp_path):
+    s, r, batch = _rollup_fixture(spark, tmp_path)
+    assert r.refresh()["mode"] == "full"  # first fold
+    assert _as_dict(r.read()) == _full_recompute(spark, s)
+
+    s.append({"facts": batch([("a", 5), ("c", 7)])})
+    s.append({"facts": batch([("b", -4)])})
+    out = r.refresh()
+    assert out["mode"] == "incremental" and out["new_dirs"] == 2
+    assert _as_dict(r.read()) == _full_recompute(spark, s)
+    assert _as_dict(r.read()) == {
+        "a": (8, 3, 1, 5), "b": (6, 2, -4, 10), "c": (7, 1, 7, 7)
+    }
+
+
+def test_rollup_refresh_is_idempotent_and_noop_without_new_data(spark, tmp_path):
+    s, r, batch = _rollup_fixture(spark, tmp_path)
+    r.refresh()
+    v = s.current_version()
+    # replayed/duplicate refresh: no new data -> no version burned
+    assert r.refresh()["mode"] == "noop"
+    assert s.current_version() == v
+    assert _as_dict(r.read()) == _full_recompute(spark, s)
+
+
+def test_rollup_falls_back_to_full_after_rewrite(spark, tmp_path):
+    s, r, batch = _rollup_fixture(spark, tmp_path)
+    r.refresh()
+    s.append({"facts": batch([("a", 100)])})
+    r.refresh()
+    # compaction rewrites the directory list -> add-only premise gone
+    s.compact("facts")
+    s.append({"facts": batch([("d", 3)])})
+    out = r.refresh()
+    assert out["mode"] == "full"
+    assert _as_dict(r.read()) == _full_recompute(spark, s)
+    # and the fold marker resets to the compacted layout: next
+    # refresh with new data is incremental again
+    s.append({"facts": batch([("d", 4)])})
+    assert r.refresh()["mode"] == "incremental"
+    assert _as_dict(r.read()) == _full_recompute(spark, s)
+
+
+def test_rollup_rejects_non_mergeable_aggregates(spark, tmp_path):
+    from flat_file_social_media_database_engine_spark.plans.rollup import (
+        MaintainedRollup,
+    )
+
+    s = SnapshotStore(spark, str(tmp_path / "rstore2"))
+    with pytest.raises(ValueError, match="not self-mergeable"):
+        MaintainedRollup(s, "bad", "facts", ["k"], {"m": ("median", "x")})
