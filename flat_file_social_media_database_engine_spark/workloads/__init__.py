@@ -85,7 +85,6 @@ _VERIFY_FIRST = [
     # shingle pass, localCheckpoint→persist) — every dedup_* entry
     # stays in-window until re-verified, including this one
     "dedup_incremental",
-    "s7_multiformat_union",
     # new late-r3 — never driver-verified: exact repeated-span
     # (substring-level) dedup, Bloom ingest prefilter, CMS heavy
     # hitters
@@ -115,6 +114,7 @@ _VERIFY_FIRST = [
     "q_above_customer_avg",
     "events_daily_gapfill",
     "dedup_cross_source",
+    "s8_rollup_maintenance",
 ]
 _STABLE_TAIL = [
     # Rotated out of the window for the continuation's seven new
@@ -128,6 +128,11 @@ _STABLE_TAIL = [
     # events_retention's question (in-window); cube = rollup's
     # grouping-sets twin; anomaly_zscore = exact-integer moments
     # (now ALSO demonstrated in-window by sim_dim_stats).
+    # s7's CSV/JSON source rules are pinned by test_sources /
+    # test_json_source and its union shape is trivial; rotated for
+    # s8_rollup_maintenance (incremental view maintenance — a new
+    # machinery class, driver-verified end-to-end)
+    "s7_multiformat_union",
     "dedup_source_stats",
     "o3_window_suite",
     "sample_train_split",

@@ -921,3 +921,68 @@ def s7_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S8 — incrementally-maintained rollup, driver-verified: seed a store
+# with 3/4 of orders, fold, append the rest, fold AGAIN (incremental
+# path), and return the maintained state. The oracle is the plain
+# aggregate over ALL orders — i.e. the differential asserts the
+# maintained fold ≡ full recompute, which is the IVM contract itself.
+# ---------------------------------------------------------------------------
+@query(
+    "s8_rollup_maintenance",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS lo_key,
+           CAST(max(o_orderkey) AS BIGINT) AS hi_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def s8_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaintainedRollup end-to-end under the driver oracle: the
+    maintained (fold + incremental fold) state must hash-equal the
+    one-shot aggregate over the full fact table.
+
+    The monetary column pre-casts to DECIMAL(28,6) before it enters
+    the store, so partial sums and their merge are EXACT decimal
+    arithmetic — the fold order (which directories arrived when) can
+    never show through to the values, which is precisely what makes
+    the incremental fold ≡ full recompute differential meaningful."""
+    import tempfile
+
+    from ..plans.rollup import MaintainedRollup
+    from ..plans.snapshots import SnapshotStore
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(28,6)").alias("price_d"),
+    )
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="rollup_s8_"))
+    store.commit({"orders": orders.filter(F.col("o_orderkey") % 4 != 0)})
+    r = MaintainedRollup(
+        store,
+        "by_status",
+        "orders",
+        ["o_orderstatus"],
+        {
+            "n": ("count", "o_orderkey"),
+            "total": ("sum", "price_d"),
+            "lo_key": ("min", "o_orderkey"),
+            "hi_key": ("max", "o_orderkey"),
+        },
+    )
+    assert r.refresh()["mode"] == "full"
+    store.append({"orders": orders.filter(F.col("o_orderkey") % 4 == 0)})
+    assert r.refresh()["mode"] == "incremental"
+    return r.read().select(
+        "o_orderstatus",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        "lo_key",
+        "hi_key",
+    )
