@@ -46,6 +46,16 @@ def _dsum(col: Column | str) -> Column:
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Measured cost note (sf0.1, local[32], warm):
+    the DECIMAL(28,6) sums ARE the query — 1.6s vs 0.32s for plain
+    double sums on the same scan (the >18-digit accumulator leaves
+    Spark's compact-long decimal fast path). That 5x is the price of
+    cross-engine bit parity (double accumulation is order-dependent;
+    see tools/selfcheck's dtype-strict hash), paid deliberately: an
+    integer-units shortcut (round(x*1e6) to bigint) matches on clean
+    2-decimal inputs but diverges from the oracle's string-based
+    decimal cast on product columns like disc/charge, so it is NOT
+    safe here."""
     li = read_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
