@@ -625,15 +625,15 @@ EDIT_REL_DEN = 5  # keep pairs with edit_dist <= 1/5 of the longer text
     )
     SELECT c.doc_id_a, c.doc_id_b,
            CAST(levenshtein(a.ntext, b.ntext) AS BIGINT) AS edit_dist,
-           CAST(len(a.ntext) AS BIGINT) AS len_a,
-           CAST(len(b.ntext) AS BIGINT) AS len_b,
+           CAST(strlen(a.ntext) AS BIGINT) AS len_a,
+           CAST(strlen(b.ntext) AS BIGINT) AS len_b,
            CAST(levenshtein(a.ntext, b.ntext) AS DOUBLE)
-             / greatest(len(a.ntext), len(b.ntext), 1) AS rel_dist
+             / greatest(strlen(a.ntext), strlen(b.ntext), 1) AS rel_dist
     FROM cand c
     JOIN nt a ON a.doc_id = c.doc_id_a
     JOIN nt b ON b.doc_id = c.doc_id_b
     WHERE levenshtein(a.ntext, b.ntext) * {EDIT_REL_DEN}
-          <= greatest(len(a.ntext), len(b.ntext))
+          <= greatest(strlen(a.ntext), strlen(b.ntext))
     """,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,10 +653,26 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dist * {EDIT_REL_DEN} <= max_len``), and ``rel_dist`` divides
     the same exact integers once, so both engines agree bitwise. The
     Levenshtein itself is cross-engine differential (Spark JVM vs
-    DuckDB), not replayed from a shared hash."""
+    DuckDB), not replayed from a shared hash.
+
+    Unit contract — UTF-8 BYTES, deliberately: Spark's levenshtein
+    edits code points while DuckDB's edits bytes (measured: é→e is
+    1 vs 2), so the differential forces ONE unit. Bytes win because
+    they keep the oracle a true independent implementation (code
+    points are inexpressible in DuckDB SQL, so a code-point oracle
+    would replay Spark, proving nothing). Spark side: the normalized
+    text round-trips through encode(UTF-8)→decode(ISO-8859-1) —
+    a 1:1 byte↔char map — so its code-point metric IS the byte
+    metric; lengths are octet_length. Identical to code points on
+    ASCII (the fixtures); per-script consistent multipliers
+    otherwise (e.g. CJK ~3x on BOTH sides of the relative
+    threshold, so the ratio is unit-free). Pinned on accented /
+    Cyrillic / CJK / combining-char corpora in
+    tests/test_unicode_differential.py."""
     cand = _band_candidates(_shingle_arrays(spark, sf_dir))
     docs = read_table(spark, sf_dir, "documents")
-    nt = docs.select("doc_id", _norm().alias("ntext"))
+    as_bytes = lambda c: F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")  # noqa: E731
+    nt = docs.select("doc_id", as_bytes(_norm()).alias("ntext"))
     a = nt.select(F.col("doc_id").alias("doc_id_a"), F.col("ntext").alias("ta"))
     b = nt.select(F.col("doc_id").alias("doc_id_b"), F.col("ntext").alias("tb"))
     la = F.length("ta").cast("bigint")
