@@ -275,7 +275,7 @@ def a2_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the grand total partial-aggregate together instead of one
     scan per level. ``gid`` disambiguates NULL-as-subtotal from a
     genuinely NULL grouping value on both engines."""
-    return (
+    roll = (
         read_table(spark, sf_dir, "orders")
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(
@@ -284,6 +284,7 @@ def a2_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "o_orderstatus", "n_orders", "gid")
     )
+    return _with_standard_grand_total(roll)
 
 
 @query(
@@ -303,7 +304,7 @@ def a2_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total) from one scan and one shuffle — the cross-tab a
     reporting layer otherwise builds with 4 separate scans. Same
     ``gid`` disambiguation as the rollup twin."""
-    return (
+    cube = (
         read_table(spark, sf_dir, "orders")
         .cube("o_orderpriority", "o_orderstatus")
         .agg(
@@ -312,6 +313,32 @@ def a2_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "o_orderstatus", "n_orders", "gid")
     )
+    return _with_standard_grand_total(cube)
+
+
+def _with_standard_grand_total(sets: DataFrame) -> DataFrame:
+    """SQL-standard empty-input semantics for grouping sets: the
+    grand-total set (``GROUP BY ()``) aggregates over an empty input
+    to ONE row (count = 0), but Spark's rollup/cube emit ZERO rows
+    there (the expand+hash-agg path has no global-aggregate special
+    case; DuckDB follows the standard — caught by the zero-row
+    differential suite). Repair WITHOUT a second fact scan: drop the
+    engine's grand-total row (gid = 3) and re-derive it from the
+    finest-level partials (gid = 0) — sum-of-detail-counts IS the
+    grand count on non-empty input, and coalesce(…, 0) supplies the
+    standard's zero row on empty input. Integer arithmetic, so the
+    replacement row is value-identical to the one it replaces."""
+    detail_total = (
+        sets.filter(F.col("gid") == 0)
+        .agg(F.coalesce(F.sum("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"))
+        .select(
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "n_orders",
+            F.lit(3).cast("bigint").alias("gid"),
+        )
+    )
+    return sets.filter(F.col("gid") != 3).unionByName(detail_total)
 
 
 # ---------------------------------------------------------------------------

@@ -235,8 +235,14 @@ _A3_TOL = 0.05  # accepted |approx - exact| / exact (5 sigma)
 )
 def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     def within(approx, exact):
-        return (
-            F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+        # exact == 0 only on an EMPTY table (both counters run over
+        # the same rows) — the relative-error division would raise
+        # ANSI DIVIDE_BY_ZERO there; a zero-estimate of zero is
+        # trivially within tolerance (pinned by the zero-row
+        # differential suite).
+        return F.when(exact == 0, approx == 0).otherwise(
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
             <= F.lit(_A3_TOL)
         )
 
@@ -789,9 +795,15 @@ def a5_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.round("m", 4).alias("median_exact"),
-            (F.abs(F.col("ma") - F.col("m")) / F.col("m") <= F.lit(_A5_TOL)).alias(
-                "within_tol"
-            ),
+            # empty table → both medians NULL → trivially within
+            # tolerance (the oracle's verdict column is TRUE by
+            # construction; NULL here would drift — pinned by the
+            # zero-row differential suite)
+            F.when(F.col("m").isNull(), F.col("ma").isNull())
+            .otherwise(
+                F.abs(F.col("ma") - F.col("m")) / F.col("m") <= F.lit(_A5_TOL)
+            )
+            .alias("within_tol"),
             F.lit(_A5_TOL).alias("tolerance"),
         )
     )
