@@ -81,6 +81,19 @@ def _dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _cos(num: Column, den: Column) -> Column:
+    """Null-safe cosine division: NULL when the norm product is zero
+    (a zero-norm vector has no direction — cosine is undefined).
+    This is also exactly what the oracle computes for free: DuckDB
+    double division by zero yields NULL, while Spark's ANSI mode
+    RAISES — so every cosine site must route through this guard or a
+    single failed-encoder row (all-zero embedding) aborts the whole
+    query (pinned by the degenerate-embedding differential suite).
+    NULL cosines fail every >= threshold filter and sort NULLS LAST
+    under DESC rank in both engines, so downstream semantics agree."""
+    return F.when(den != F.lit(0.0), num / den)
+
+
 def _norm2(v: Column | str) -> Column:
     return _dot(v, v)
 
@@ -141,7 +154,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+            _cos(_dot("qe", "embedding"), F.col("qn") * F.col("nrm")).alias("cosine"),
         )
     )
     # Two-phase top-k: survivors per (query, partition) first, so the
@@ -329,7 +342,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qe", "ne") / (F.col("qn") * F.col("nn"))).alias("cosine"),
+            _cos(_dot("qe", "ne"), F.col("qn") * F.col("nn")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
@@ -484,7 +497,7 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qe", "ne") / (F.col("qn") * F.col("nn"))).alias("cosine"),
+            _cos(_dot("qe", "ne"), F.col("qn") * F.col("nn")).alias("cosine"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
@@ -632,7 +645,7 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id_a",
             "vec_id_b",
-            (_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+            _cos(_dot("ea", "eb"), F.col("na") * F.col("nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
@@ -705,7 +718,7 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id_a",
             "vec_id_b",
-            (_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+            _cos(_dot("ea", "eb"), F.col("na") * F.col("nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
@@ -798,7 +811,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cid",
-            (_dot("embedding", "ce") / (F.col("nrm") * F.col("cn"))).alias("cos_c"),
+            _cos(_dot("embedding", "ce"), F.col("nrm") * F.col("cn")).alias("cos_c"),
         )
         .withColumn(
             "rnk",
@@ -831,7 +844,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "cell",
-            (_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+            _cos(_dot("qe", "embedding"), F.col("qn") * F.col("nrm")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
@@ -1161,7 +1174,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "cell",
-            (_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias(
+            _cos(_dot("qe", "embedding"), F.col("qn") * F.col("nrm")).alias(
                 "cosine"
             ),
         )
@@ -1359,7 +1372,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = dnorm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (_dot("qv", "dv") / (F.col("qn") * F.col("dn"))).alias("acos"),
+        _cos(_dot("qv", "dv"), F.col("qn") * F.col("dn")).alias("acos"),
     )
     w_local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
         F.col("acos").desc(), "neighbor_id"
@@ -1395,7 +1408,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qe", "ne") / (F.col("qn2") * F.col("nn2"))).alias("cosine"),
+            _cos(_dot("qe", "ne"), F.col("qn2") * F.col("nn2")).alias("cosine"),
         )
     )
     w_final = Window.partitionBy("query_id").orderBy(
@@ -1540,7 +1553,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cid",
-            (_dot("embedding", "ce") / (F.col("nrm") * F.col("cn"))).alias(
+            _cos(_dot("embedding", "ce"), F.col("nrm") * F.col("cn")).alias(
                 "cos_c"
             ),
         )
@@ -1573,7 +1586,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "cell",
-            (_dot("qv", "dv") / (F.col("qn") * F.col("dn"))).alias("acos"),
+            _cos(_dot("qv", "dv"), F.col("qn") * F.col("dn")).alias("acos"),
         )
     )
     w_over = Window.partitionBy("query_id").orderBy(
@@ -1601,7 +1614,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "cell",
-            (_dot("qe", "ne") / (F.col("qn2") * F.col("nn2"))).alias("cosine"),
+            _cos(_dot("qe", "ne"), F.col("qn2") * F.col("nn2")).alias("cosine"),
         )
     )
     w_final = Window.partitionBy("query_id").orderBy(
@@ -1693,7 +1706,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    cos = _cos(_dot("va", "vb"), F.col("na") * F.col("nb"))
     return (
         a.join(b, "cell")
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
@@ -1865,13 +1878,15 @@ _DIM_Q = 1_000_000  # micro-unit quantization for exact moment sums
     )
     SELECT dim,
            count(*) AS n,
-           CAST(sum(xq) AS BIGINT) AS sum_q,
-           CAST(sum(xq * xq) AS BIGINT) AS sumsq_q,
-           CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / {_DIM_Q}
-               AS mean,
-           (CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE) / count(*)
-              - (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*))
-                * (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)))
+           CAST(CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS DOUBLE) AS sum_q,
+           CAST(CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) AS DECIMAL(38,0))
+                AS DOUBLE) AS sumsq_q,
+           CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+               / {_DIM_Q} AS mean,
+           (CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) AS DOUBLE) / count(*)
+              - (CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*))
+                * (CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / count(*)))
              / {_DIM_Q} / {_DIM_Q} AS var,
            min(x) AS min_x,
            max(x) AS max_x,
@@ -1908,15 +1923,25 @@ def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     xq = F.floor(F.col("x") * _DIM_Q).cast("bigint")
     q = x.withColumn("xq", xq)
     n = F.count(F.lit(1))
-    s = F.sum("xq").cast("bigint")
-    s2 = F.sum(F.col("xq") * F.col("xq")).cast("bigint")
+    # DECIMAL(38,0) sums, not bigint: a pathological component of
+    # magnitude ~1e6 quantizes to ~1e12 units whose SQUARE overflows
+    # int64 on the very first row — and surviving pathological input
+    # is this QA query's whole job (pinned by the degenerate-
+    # embedding differential suite). Decimal accumulation is also the
+    # posture the docstring promises for >2^63 totals.
+    d38 = F.col("xq").cast("decimal(38,0)")
+    # exported as DOUBLE (cast from the same exact decimal in both
+    # engines — DuckDB's pandas bridge renders wide decimals as
+    # float64, so a decimal output column would dtype-drift)
+    s = F.sum(d38).cast("decimal(38,0)")
+    s2 = F.sum(d38 * F.col("xq")).cast("decimal(38,0)")
     mean_units = s.cast("double") / n
     return (
         q.groupBy("dim")
         .agg(
             n.alias("n"),
-            s.alias("sum_q"),
-            s2.alias("sumsq_q"),
+            s.cast("double").alias("sum_q"),
+            s2.cast("double").alias("sumsq_q"),
             (mean_units / _DIM_Q).alias("mean"),
             (
                 (s2.cast("double") / n - mean_units * mean_units)
