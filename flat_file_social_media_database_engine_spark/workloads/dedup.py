@@ -454,14 +454,45 @@ def _band_table(sh: DataFrame) -> DataFrame:
     )
 
 
-def _band_candidates(sh: DataFrame) -> DataFrame:
-    """Distinct candidate (doc_id_a, doc_id_b) pairs sharing any LSH
-    band bucket — the shared candidate FRONT of every near-dup
-    verifier (Jaccard, edit-distance): the self-join shuffles the
-    8-byte band key only, bucket sizes are LSH collision sets, and
-    the distinct collapses multi-band hits before any verification
-    work. Mirrors the oracle chain's ``cand`` CTE."""
+# Hot-bucket cap: a bucket of n docs yields n(n-1)/2 candidate pairs,
+# so ONE boilerplate cluster (identical headers, templated pages — a
+# certainty in a web-scale corpus) turns the bucket join quadratic.
+# Buckets larger than the cap are skipped as degenerate collisions:
+# their members are overwhelmingly exact duplicates (caught upstream
+# by exact dedup, which is hash-grouped and immune to this blowup),
+# and the cap bounds candidate generation at CAP²/2 pairs per bucket.
+# Applied IDENTICALLY in the Spark candidate front and the oracle CTE
+# chain (and in the incremental probe, keyed on the same total bucket
+# size), so the differential proves the cap, not just the happy path.
+# Fixture buckets max out at 4 docs across all three scales, so the
+# cap is provably inert on the driver fixtures.
+HOT_BUCKET_CAP = 64
+
+
+def _capped_bands(sh: DataFrame) -> DataFrame:
+    """Band table filtered to buckets of <= HOT_BUCKET_CAP docs. The
+    bucket count groups on the same band_key the join shuffles on, so
+    the exchange is shared; the filter is a semi-join against the
+    (tiny) allowed-key set."""
     bands = _band_table(sh)
+    ok = (
+        bands.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= HOT_BUCKET_CAP)
+        .select("band_key")
+    )
+    return bands.join(ok, "band_key", "left_semi")
+
+
+def _band_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct candidate (doc_id_a, doc_id_b) pairs sharing any
+    non-hot LSH band bucket — the shared candidate FRONT of every
+    near-dup verifier (Jaccard, edit-distance): the self-join
+    shuffles the 8-byte band key only, bucket sizes are LSH collision
+    sets bounded by HOT_BUCKET_CAP, and the distinct collapses
+    multi-band hits before any verification work. Mirrors the oracle
+    chain's ``cand`` CTE."""
+    bands = _capped_bands(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -509,11 +540,20 @@ def _lsh_pairs_ctes() -> str:
       SELECT doc_id, {band_keys} FROM sigm
     ),
     bands AS ({band_rows}),
+    bands_ok AS (
+      SELECT band, band_key FROM bands
+      GROUP BY band, band_key
+      HAVING count(*) <= {HOT_BUCKET_CAP}
+    ),
+    capped AS (
+      SELECT b.* FROM bands b
+      JOIN bands_ok k ON k.band = b.band AND k.band_key = b.band_key
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id
+      FROM capped a
+      JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
     ),
     verified AS (
       SELECT c.doc_id_a, c.doc_id_b, count(*) AS common
@@ -1090,7 +1130,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     sh = _shingle_arrays(spark, sf_dir)
-    bands = _band_table(sh)
+    # Same hot-bucket cap as the full pair pipeline, keyed on TOTAL
+    # bucket size (corpus + batch) — the oracle replays the full
+    # chain, so the probe must skip exactly the buckets it skips.
+    bands = _capped_bands(sh)
     corpus_idx = bands.filter(F.col("doc_id") < N_OLD).select(
         F.col("doc_id").alias("corpus_doc_id"), "band_key"
     )

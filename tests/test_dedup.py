@@ -511,3 +511,59 @@ def test_incremental_minhash_classifies_batch(spark, tmp_path_factory):
     assert out[450]["best_jaccard"] >= D.JACCARD_THRESHOLD
     assert out[451]["status"] == "unique"
     assert out[451]["matched_doc_id"] is None
+
+
+def test_hot_bucket_cap_bounds_boilerplate_blowup(spark, tmp_path_factory):
+    """A boilerplate cluster (200 identical docs -> identical MinHash
+    signatures -> 16 hot buckets) must NOT quadratically explode the
+    candidate front: buckets past HOT_BUCKET_CAP are skipped in BOTH
+    engines, so the cluster yields zero near-dup pairs (exact dedup's
+    job — these are byte-identical), while an unrelated near-dup pair
+    with small buckets is still found. The DuckDB oracle replays the
+    same capped chain, so the cap's consistency is differential, not
+    asserted."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.selfcheck import value_hash
+
+    boiler = (
+        "subscribe to our newsletter terms of service privacy policy "
+        "all rights reserved contact us about careers press kit help "
+        "center community guidelines cookie settings accessibility "
+        "statement sitemap language region sign in create account"
+    )
+    near_a = (
+        "the migratory patterns of arctic terns span both hemispheres "
+        "covering seventy thousand kilometers in a single year the "
+        "longest known annual migration of any animal on the planet "
+        "researchers attach tiny geolocators to track the journey"
+    )
+    near_b = near_a.replace("tiny geolocators", "miniature geolocators")
+    rows = [(i, boiler, "en", "boiler", len(boiler)) for i in range(200)]
+    rows += [
+        (200, near_a, "en", "web", len(near_a)),
+        (201, near_b, "en", "web", len(near_b)),
+    ]
+    d = tmp_path_factory.mktemp("hotbucket")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs["dedup_minhash_lsh"](spark, str(d)).toPandas()
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in sdf.itertuples()}
+    assert (200, 201) in pairs, "small-bucket near-dup pair must survive"
+    assert all(a >= 200 and b >= 200 for a, b in pairs), (
+        "hot boilerplate buckets must emit no pairs"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    odf = con.sql(oracles["dedup_minhash_lsh"]).df()
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
+    con.close()
