@@ -655,13 +655,29 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed near-dup: the documented SCALE path for the quadratic
 # sim_neardup_cosine baseline, now a first-class oracle-checked entry.
 # ---------------------------------------------------------------------------
+# Hot-bucket cap for the embedding near-dup self-join — same rationale
+# and value as dedup.py's HOT_BUCKET_CAP (one shared constant would
+# couple the modules for what is genuinely a per-index tuning knob).
+# Fixture (t, sig) buckets are far smaller than this at every scale,
+# so driver results are unchanged; the degenerate-embedding suite
+# plants the pathological case.
+_EMB_BUCKET_CAP = 64
+
+
 def _neardup_lsh_oracle() -> str:
     return f"""
     WITH {_lsh_sig_ctes()},
+    sig_ok AS (
+      SELECT t, sig FROM sigs GROUP BY t, sig
+      HAVING count(*) <= {_EMB_BUCKET_CAP}
+    ),
+    sigs_c AS (
+      SELECT s.* FROM sigs s JOIN sig_ok k ON k.t = s.t AND k.sig = s.sig
+    ),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
-      FROM sigs x
-      JOIN sigs y ON y.t = x.t AND y.sig = x.sig
+      FROM sigs_c x
+      JOIN sigs_c y ON y.t = x.t AND y.sig = x.sig
       WHERE x.vec_id < y.vec_id
     )
     SELECT c.vec_id_a, c.vec_id_b,
@@ -695,9 +711,25 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
     sigs = _corpus_signatures(spark, sf_dir)
+    # Hot-bucket cap, mirroring the text pipeline's (dedup.py): mass-
+    # duplicate embeddings — and EVERY failed-encoder zero vector,
+    # whose sign bits all agree — land in one (t, sig) bucket whose
+    # self-join is quadratic. Buckets past the cap are degenerate
+    # duplicate clusters (exact dedup territory); the oracle applies
+    # the identical HAVING filter, so the cap is differential.
+    ok = (
+        sigs.groupBy("t", "sig")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _EMB_BUCKET_CAP)
+        .select("t", "sig")
+    )
+    sigs_c = sigs.join(ok, ["t", "sig"], "left_semi")
     cand = (
-        sigs.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
-        .join(sigs.select("t", "sig", F.col("vec_id").alias("vec_id_b")), ["t", "sig"])
+        sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
+        .join(
+            sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_b")),
+            ["t", "sig"],
+        )
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
         .distinct()

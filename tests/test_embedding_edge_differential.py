@@ -88,3 +88,54 @@ def test_degenerate_embeddings_match_oracle(spark, emb_dir, emb_oracle, name):
     if len(sdf):
         assert not (drift := dtype_drift(sdf, odf)), drift
         assert value_hash(sdf) == value_hash(odf), "value hash mismatch"
+
+
+def test_emb_hot_bucket_cap_bounds_zero_vector_blowup(spark, tmp_path_factory):
+    """150 failed-encoder zero vectors share ONE signature per table
+    (all sign bits agree on a zero dot), i.e. 32 hot buckets whose
+    self-join would be quadratic. The cap must skip them in BOTH
+    engines — zero pairs from the zero cluster (their cosines are
+    NULL anyway), a genuine near-dup pair with small buckets
+    survives, and the oracle replay hash-matches (the cap is
+    differential, not asserted)."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from tools.selfcheck import value_hash
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(64)
+    v /= np.linalg.norm(v)
+    w = v + rng.randn(64) * 0.01  # near-duplicate of v
+    w /= np.linalg.norm(w)
+    rows = [(i, [0.0] * 64, 0) for i in range(150)]
+    rows.append((150, [float(x) for x in v], 1))
+    rows.append((151, [float(x) for x in w], 1))
+    for i in range(152, 182):  # background vectors
+        r = rng.randn(64)
+        r /= np.linalg.norm(r)
+        rows.append((i, [float(x) for x in r], 2))
+
+    d = tmp_path_factory.mktemp("emb_hot")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs["sim_neardup_lsh"](spark, str(d)).toPandas()
+    pairs = {(r.vec_id_a, r.vec_id_b) for r in sdf.itertuples()}
+    assert (150, 151) in pairs, "small-bucket near-dup pair must survive"
+    assert all(a >= 150 and b >= 150 for a, b in pairs), (
+        "the zero-vector hot buckets must emit no pairs"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    odf = con.sql(oracles["sim_neardup_lsh"]).df()
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
+    con.close()
