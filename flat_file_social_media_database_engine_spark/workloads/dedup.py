@@ -470,18 +470,22 @@ HOT_BUCKET_CAP = 64
 
 
 def _capped_bands(sh: DataFrame) -> DataFrame:
-    """Band table filtered to buckets of <= HOT_BUCKET_CAP docs. The
-    bucket count groups on the same band_key the join shuffles on, so
-    the exchange is shared; the filter is a semi-join against the
-    (tiny) allowed-key set."""
+    """Band table filtered to buckets of <= HOT_BUCKET_CAP docs.
+
+    The filter BROADCASTS the HOT key set and anti-joins — not a
+    semi-join on the allowed set: hot buckets are rare by definition
+    (the count aggregation map-side combines to one tiny row per
+    bucket, and only over-cap keys survive the filter), so the
+    broadcast is kilobytes at any corpus size while the band table —
+    the big side — stays map-only instead of reshuffling."""
     bands = _band_table(sh)
-    ok = (
+    hot = (
         bands.groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= HOT_BUCKET_CAP)
+        .filter(F.col("c") > HOT_BUCKET_CAP)
         .select("band_key")
     )
-    return bands.join(ok, "band_key", "left_semi")
+    return bands.join(F.broadcast(hot), "band_key", "left_anti")
 
 
 def _band_candidates(sh: DataFrame) -> DataFrame:

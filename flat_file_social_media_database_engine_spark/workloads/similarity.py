@@ -717,13 +717,15 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join is quadratic. Buckets past the cap are degenerate
     # duplicate clusters (exact dedup territory); the oracle applies
     # the identical HAVING filter, so the cap is differential.
-    ok = (
+    # broadcast the HOT set (rare by definition — kilobytes at any
+    # scale) and anti-join, keeping the signature side map-only
+    hot = (
         sigs.groupBy("t", "sig")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") <= _EMB_BUCKET_CAP)
+        .filter(F.col("c") > _EMB_BUCKET_CAP)
         .select("t", "sig")
     )
-    sigs_c = sigs.join(ok, ["t", "sig"], "left_semi")
+    sigs_c = sigs.join(F.broadcast(hot), ["t", "sig"], "left_anti")
     cand = (
         sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
         .join(
