@@ -50,6 +50,14 @@ INVARIANCE_SET = [
     "docs_domain_budget",
     "sim_centroid_outliers",
     "text_tfidf_topk",
+    # late-session additions: capped candidate fronts (the hot-bucket
+    # anti-join must not depend on layout), the byte-unit Levenshtein
+    # verify, the IVM fold (store commits under different layouts),
+    # and the provenance rollup over the shared pair graph
+    "dedup_edit_distance",
+    "sim_neardup_lsh",
+    "dedup_cross_source",
+    "s8_rollup_maintenance",
 ]
 
 
