@@ -664,6 +664,28 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_BUCKET_CAP = 64
 
 
+_HOT_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _hot_sig_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-cap (t, sig) bucket keys, computed once per (application,
+    sf_dir) and materialized — rows-of-hot-buckets tiny (empty on the
+    fixtures), derived by one count pass over the session-cached
+    signature table; same policy as dedup._hot_band_keys."""
+    from ..plans.materialize import materialize, session_cached
+
+    def build():
+        sigs = _corpus_signatures(spark, sf_dir)
+        return materialize(
+            sigs.groupBy("t", "sig")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > _EMB_BUCKET_CAP)
+            .select("t", "sig")
+        )
+
+    return session_cached(_HOT_SIG_CACHE, spark, sf_dir, build)
+
+
 def _neardup_lsh_oracle() -> str:
     return f"""
     WITH {_lsh_sig_ctes()},
@@ -719,13 +741,9 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical HAVING filter, so the cap is differential.
     # broadcast the HOT set (rare by definition — kilobytes at any
     # scale) and anti-join, keeping the signature side map-only
-    hot = (
-        sigs.groupBy("t", "sig")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > _EMB_BUCKET_CAP)
-        .select("t", "sig")
+    sigs_c = sigs.join(
+        F.broadcast(_hot_sig_keys(spark, sf_dir)), ["t", "sig"], "left_anti"
     )
-    sigs_c = sigs.join(F.broadcast(hot), ["t", "sig"], "left_anti")
     cand = (
         sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
         .join(
