@@ -465,8 +465,9 @@ def _band_table(sh: DataFrame) -> DataFrame:
 # chain (and in the incremental probe, keyed on the same total bucket
 # size), so the differential proves the cap, not just the happy path.
 # Fixture buckets max out at 4 docs across all three scales, so the
-# cap is provably inert on the driver fixtures.
-HOT_BUCKET_CAP = 64
+# cap is provably inert on the driver fixtures. The value is SHARED
+# with the embedding-signature front — one definition in _caps.py.
+from ._caps import HOT_BUCKET_CAP
 
 
 _HOT_KEYS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -1914,19 +1915,23 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring).
 
     Scale posture: rides the session-cached verified pair set (pairs
-    are LSH-bounded, not corpus-sized), joins the two doc sides
-    against a (doc_id, source) projection — both joins are on the
-    pair table's keys, the source projection broadcasts at dimension
-    scale — and the rollup is one map-side-combined groupBy whose
-    output is |sources|² rows at most."""
+    are LSH-bounded, not corpus-sized) and joins the two doc sides
+    against a (doc_id, source) projection of the fact table. NO
+    broadcast hint on either side: the source projection is
+    corpus-sized (a hint here would force a per-document collect to
+    the driver — the round-3 advisor's finding), and the pair side is
+    bounded but not provably kilobytes; both joins key on doc_id, so
+    AQE picks broadcast exactly when the runtime pair/projection
+    sizes justify it. The rollup is one map-side-combined groupBy
+    whose output is |sources|² rows at most."""
     pairs = lsh_pairs_shared(spark, sf_dir).select("doc_id_a", "doc_id_b")
     docs = read_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa"))
     b = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb"))
     return (
-        pairs.join(F.broadcast(a), "doc_id_a")
-        .join(F.broadcast(b), "doc_id_b")
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
         .select(
             F.least("sa", "sb").alias("source_x"),
             F.greatest("sa", "sb").alias("source_y"),

@@ -842,8 +842,10 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max aggregate (a single row) exploded into ~days rows —
     metadata-scale regardless of corpus size; the daily aggregate is
     the same one-shuffle rollup as events_hourly_rollup; the
-    gap-fill join broadcasts the spine (days-count rows) against the
-    aggregate, so no corpus-sized side ever reshuffles."""
+    gap-fill join broadcasts the AGGREGATED daily side (days-count
+    rows — Spark cannot build the preserved left side of a left-outer
+    BroadcastHashJoin, so hinting the spine would be silently ignored;
+    round-3 advisor finding), so no corpus-sized side reshuffles."""
     events = read_table(spark, sf_dir, "events")
     bounds = events.agg(
         F.date_trunc("day", F.min("ts")).alias("mn"),
@@ -859,8 +861,8 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
     )
     return (
-        F.broadcast(spine)
-        .join(daily, "day", "left")
+        spine
+        .join(F.broadcast(daily), "day", "left")
         .select(
             "day",
             F.coalesce("n_events", F.lit(0)).alias("n_events"),

@@ -655,13 +655,13 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed near-dup: the documented SCALE path for the quadratic
 # sim_neardup_cosine baseline, now a first-class oracle-checked entry.
 # ---------------------------------------------------------------------------
-# Hot-bucket cap for the embedding near-dup self-join — same rationale
-# and value as dedup.py's HOT_BUCKET_CAP (one shared constant would
-# couple the modules for what is genuinely a per-index tuning knob).
-# Fixture (t, sig) buckets are far smaller than this at every scale,
-# so driver results are unchanged; the degenerate-embedding suite
-# plants the pathological case.
-_EMB_BUCKET_CAP = 64
+# Hot-bucket cap for the embedding near-dup self-join — SHARED with
+# dedup.py's MinHash band front via _caps.py (round-3 verdict item 6:
+# a drifting pair of caps would silently desynchronize the two LSH
+# fronts' oracles). Fixture (t, sig) buckets are far smaller than
+# this at every scale, so driver results are unchanged; the
+# degenerate-embedding suite plants the pathological case.
+from ._caps import HOT_BUCKET_CAP as _EMB_BUCKET_CAP
 
 
 _HOT_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
