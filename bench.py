@@ -96,7 +96,15 @@ def main() -> None:
     # idle), and a single-shot sample conflates neighbor noise with
     # engine throughput. The min of two decorrelated passes measures
     # the engine; the method is declared in the output.
+    # Pass 1 runs with the shared session passes COLD at the bench
+    # scale (the JIT warm-up above runs at sf0.001, and the session
+    # caches key on (app, sf_dir), so nothing at sf_dir is cached
+    # yet) — reported as queries_cold so the session-cache
+    # amortization is visible instead of implicit in the method
+    # string (round-3 verdict item 7). Pass 2 is fully warm; the
+    # per-query MINIMUM is the headline.
     per_query: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
             if name not in qs:
@@ -104,6 +112,8 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
+            if _pass == 0:
+                cold[name] = dt
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt
 
@@ -123,6 +133,11 @@ def main() -> None:
         # amortized cost a multi-query session actually pays — the
         # method string declares it.
         "method": "min_of_2_passes_shared_session_passes_warm",
+        # First-pass wall per query with shared caches cold at this
+        # scale (JIT already warm): the single-query cold latency the
+        # warm minima amortize away.
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if skipped:

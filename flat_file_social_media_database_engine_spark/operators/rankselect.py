@@ -1,0 +1,219 @@
+"""Distributed exact rank: global/grouped ``row_number`` without an
+unpartitioned window.
+
+Spark's ``Window.orderBy(...)`` (no partitionBy) funnels EVERY row
+through one reducer — fine on a reduced fixture table, a
+drive-the-cluster-through-one-task bottleneck at 10^9 rows (and the
+literal source of the ``WindowExec: No Partition Defined`` warnings
+the round-3 bench tail carried). Likewise ``partitionBy(k)`` over a
+low-cardinality key makes each key's whole history one unsplittable
+task. This module computes the SAME exact rank with only bounded
+windows, the o1 global-sort decomposition applied to ranking:
+
+1. range-repartition on the composite sort key (group cols, then
+   order cols). The key includes the caller's unique tiebreak, so
+   Spark's range partitioner balances even when a prefix of the key
+   is massively tied (a hot ``frequency=1`` run splits across
+   partitions by the tiebreak).
+2. per-(partition, group) row counts — metadata-sized (``partitions
+   × groups`` rows, NOT data-sized).
+3. exclusive prefix-sum of those counts in partition order — a
+   window over ≤ ``partitions`` rows per group (a literal partition
+   key when there are no groups, so no WindowExec warning and no
+   accident if the counts table ever grows).
+4. broadcast the offsets back and take ``row_number`` per
+   (partition, group) — every window partition is a range-partition
+   slice, sized by the range partitioner, never a whole key's data.
+
+Exactness does not depend on where the sampled range boundaries
+fall — offsets + local rank telescope to the global rank for ANY
+partitioning that respects key order. What DOES matter is that the
+counts pass and the rank pass see the SAME boundaries: Spark
+re-samples ``repartitionByRange`` per query evaluation (each derived
+DataFrame re-plans from the logical plan), so the stamped table is
+materialized once (``plans/materialize.py``) and both passes read
+those blocks; block loss recomputes through the persisted lineage's
+existing shuffle dependency, keeping the boundaries pinned.
+
+The caller's ordering MUST be a total order (end with a unique
+tiebreak): equal composite keys would make both this and the window
+formulation nondeterministic.
+
+Reference lineage: the reference's ordered-map iteration makes every
+key scan globally ordered for free (buzzdb_lab1.cpp:92-94, ordered
+``std::map``); this is that total-order contract re-established on a
+partitioned engine. Consumers: ``orders_rfm_segments`` (exact ntile
+quartiles via 3-point rank lookup) and ``events_value_percentiles``
+(exact grouped p50/p90/p99) — both pinned hash-identical to their
+single-reducer window formulations in tests/test_rankselect.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.materialize import materialize
+
+_PID = "__rs_pid"
+_CNT = "__rs_cnt"
+_OFF = "__rs_off"
+_CUT = "__rs_cut"
+_LRN = "__rs_lrn"
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    rank_col: str = "rn",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group_cols ORDER BY
+    order_by)`` (1-based; global when ``group_cols`` is empty),
+    computed with bounded windows only — see module docstring.
+
+    ``order_by`` are column sort expressions (e.g.
+    ``F.col("v").asc()``) forming, together with ``group_cols``, a
+    TOTAL order. ``total_col`` additionally attaches the group's row
+    count (the ``count(*) OVER (PARTITION BY group)`` twin, needed by
+    percentile-style consumers without a second data-sized window).
+
+    Returns ``df``'s columns plus the rank (and optional total);
+    the returned frame reads a DISK_ONLY-persisted stamp of ``df`` —
+    callers sharing it across actions should session-cache it.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part_keys = [F.col(c).asc() for c in group_cols] + list(order_by)
+    stamped = materialize(
+        df.repartitionByRange(parts, *part_keys).withColumn(
+            _PID, F.spark_partition_id()
+        )
+    )
+
+    counts = stamped.groupBy(_PID, *group_cols).agg(
+        F.count(F.lit(1)).alias(_CNT)
+    )
+    # ≤ partitions rows per window partition; the lit key keeps the
+    # no-group case off the WindowExec single-partition warning path.
+    grp = [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
+    off_w = (
+        Window.partitionBy(*grp)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        _OFF, F.coalesce(F.sum(_CNT).over(off_w), F.lit(0))
+    )
+    if total_col is not None:
+        tot_w = Window.partitionBy(*grp)
+        offsets = offsets.withColumn(total_col, F.sum(_CNT).over(tot_w))
+    offsets = offsets.drop(_CNT)
+
+    # partitions × groups rows — metadata-scale for the intended
+    # consumers (groups: 1 for a global rank, |event types| for the
+    # percentile report); a huge-group caller should drop the hint.
+    ranked = stamped.join(F.broadcast(offsets), [_PID, *group_cols])
+    local_w = Window.partitionBy(_PID, *group_cols).orderBy(*order_by)
+    return (
+        ranked.withColumn(
+            rank_col,
+            (F.row_number().over(local_w) + F.col(_OFF)).cast("bigint"),
+        )
+        .drop(_PID, _OFF)
+    )
+
+
+def rank_select(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    cuts: dict[str, "object"],
+    total_col: str = "n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The k-th-smallest lookup: for each group and each named cut —
+    a callable mapping the group's row-count column ``n`` to a
+    1-based rank expression — the row at that rank under
+    ``order_cols`` (all ascending; must end in a unique tiebreak).
+
+    Cheaper than ``grouped_rank`` + filter when only a few ranks are
+    needed (quartile boundaries, p50/p90/p99): the per-(partition,
+    group) counts LOCATE the one range partition holding each target
+    rank, a broadcast semi-join keeps only those partitions' rows,
+    and the local sort runs over ≤ |cuts| partition slices instead of
+    re-shuffling the whole table — the full-data work is exactly one
+    range repartition plus one map-side-combined count pass.
+
+    Returns one row per group present in ``df`` (exactly one row,
+    all-null cuts, when ``group_cols`` is empty and ``df`` has no
+    rows): ``group_cols + [total_col] + one struct(order_cols) per
+    cut name``. A cut whose rank falls outside [1, n] yields null.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    proj = df.select(*group_cols, *order_cols)
+    part_keys = [F.col(c).asc() for c in [*group_cols, *order_cols]]
+    stamped = materialize(
+        proj.repartitionByRange(parts, *part_keys).withColumn(
+            _PID, F.spark_partition_id()
+        )
+    )
+
+    counts = stamped.groupBy(_PID, *group_cols).agg(
+        F.count(F.lit(1)).alias(_CNT)
+    )
+    grp = [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
+    off_w = (
+        Window.partitionBy(*grp)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # materialized (metadata-sized: partitions × groups rows) so the
+    # target scan and the final pick don't re-run the count pass.
+    offsets = materialize(
+        counts.withColumn(
+            _OFF, F.coalesce(F.sum(_CNT).over(off_w), F.lit(0))
+        ).withColumn(total_col, F.sum(_CNT).over(Window.partitionBy(*grp)))
+    )
+
+    targets = None
+    for name, fn in cuts.items():
+        c = fn(F.col(total_col)).cast("bigint")
+        t = offsets.filter(
+            (c > F.col(_OFF)) & (c <= F.col(_OFF) + F.col(_CNT))
+        ).select(
+            *group_cols,
+            F.lit(name).alias(_CUT),
+            F.col(_PID),
+            (c - F.col(_OFF)).cast("int").alias(_LRN),
+            F.col(total_col),
+        )
+        targets = t if targets is None else targets.unionByName(t)
+
+    hit = stamped.join(
+        F.broadcast(targets.select(_PID, *group_cols).distinct()),
+        [_PID, *group_cols],
+        "leftsemi",
+    )
+    local_w = Window.partitionBy(_PID, *group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    picked = hit.withColumn(_LRN, F.row_number().over(local_w)).join(
+        F.broadcast(targets), [_PID, *group_cols, _LRN]
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col(_CUT) == name,
+                F.struct(*[F.col(c) for c in order_cols]),
+            )
+        ).alias(name)
+        for name in cuts
+    ]
+    n_agg = F.max(F.col(total_col)).alias(total_col)
+    if group_cols:
+        return picked.groupBy(*group_cols).agg(n_agg, *aggs)
+    return picked.agg(n_agg, *aggs)

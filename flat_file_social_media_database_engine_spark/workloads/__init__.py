@@ -43,103 +43,45 @@ def query(name: str, oracle: str | None = None):
 #     past slot 50.
 # Everything else keeps its module registration order in between.
 _VERIFY_FIRST = [
-    # r2-unverified tail (VERDICT r2 item #1) — incl. events_sessionize,
-    # whose r1 hash failure was fixed but never driver-re-checked.
-    "events_sessionize",
-    "events_sessionize_twophase",
-    "events_sliding_rollup",
-    "events_funnel",
-    "events_retention",
-    "events_asof_attribution",
-    "events_range_attribution",
-    "events_pivot_daily",
-    "mm_payload_stats",
-    "mm_decode_features",
-    "mm_resize_stats",
-    "mm_frame_stats",  # new r3: JVM-side frame slicing, never verified
-    # changed this round (band keys / shared shingles / persist swap /
-    # large-star-small-star / block scaling / new LSH oracle / compact)
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_contamination",
-    "dedup_clusters",
-    "sim_topk_lsh",
-    "sim_neardup_cosine",
-    "s5_snapshot_roundtrip",
-    # new this round — never driver-verified
-    "pipeline_training_mix",
-    "sim_kmeans_assign",
-    "sim_topk_pq",
-    "sim_topk_ivf_kmeans",
-    "sim_neardup_lsh",
-    "text_bigram_lm_score",
-    "m4_delete_upsert",
-    "events_dedup_redelivery",
-    "sim_topk_lsh_multiprobe",
-    "sim_topk_ivfpq",
-    "text_tfidf_topk",
-    "text_pii_scrub",
-    "docs_chunk_overlap",
-    "events_next_transition",
-    # dedup.py's materialization strategy changed this round (shared
-    # shingle pass, localCheckpoint→persist) — every dedup_* entry
-    # stays in-window until re-verified, including this one
-    "dedup_incremental",
-    # new late-r3 — never driver-verified: exact repeated-span
-    # (substring-level) dedup, Bloom ingest prefilter, CMS heavy
-    # hitters
-    "dedup_span_exact",
-    "dedup_bloom_prefilter",
-    "events_heavy_hitters",
-    "sim_semantic_dedup",
-    "dedup_graph_stats",
-    "docs_strip_dup_spans",
-    "pipeline_dedup_corpus",
-    # final r3 addition — fills the last free slot of the driver's
-    # 50-row window (head was 49 deep)
-    "docs_domain_budget",
-    # continuation additions (this session) — never driver-verified,
-    # each a DISTINCT machinery class: a new verifier family member
-    # (Levenshtein over the shared LSH front), a new exactness
-    # technique (quantized integer moments), sequence mining over
-    # stacked windows, quality-aware canonical ranking, decorrelated
-    # window predicate, date-spine gap fill, and pair-provenance
-    # rollup. Seven prior head entries whose machinery is a
-    # composition of shapes still in-window rotated to the tail head
-    # (see _STABLE_TAIL's leading block).
-    "dedup_edit_distance",
-    "sim_dim_stats",
-    "events_top_paths",
-    "dedup_keep_best",
-    "q_above_customer_avg",
-    "events_daily_gapfill",
+    # ROUND 4 head (r3 verdict item 1): the 17 queries that have never
+    # had a driver CORRECTNESS row in any round — every other query is
+    # r2- or r3-driver-green, so these are first-verifications, not
+    # re-confirmations.
+    "o3_window_suite",
+    "m5_snapshot_diff",
+    "s7_multiformat_union",
+    "a2_orders_cube",
+    "orders_rfm_segments",  # ALSO rewritten r4: boundary-based quartiles
+    "events_anomaly_zscore",
+    "sample_train_split",
+    "dedup_containment_pairs",
+    "dedup_source_stats",
+    "dedup_incremental_minhash",
+    "events_bitmap_retention",
+    "events_interarrival_stats",
+    "events_session_stats",
+    "events_dau_rolling",
+    "events_value_percentiles",  # ALSO rewritten r4: rank_select ladder
+    "sim_embedding_stats",
+    "sim_centroid_outliers",
+    # changed this round (r3 verdict items 2-3 + advisor findings):
+    # broadcast-hint fixes and the shared-cap move — plus the LSH
+    # entries whose modules host the moved cap, kept in-window until
+    # driver-re-verified under the unified constant.
     "dedup_cross_source",
-    "s8_rollup_maintenance",
+    "events_daily_gapfill",
+    "dedup_minhash_lsh",
+    "sim_neardup_lsh",
+    # Everything below the r4 head that was in the r3 head is now
+    # r3-driver-green and unchanged this round — dropped from the head
+    # list entirely; those queries fall into the mid section (module
+    # registration order) and absorb the window's remaining slots as
+    # re-confirmations.
 ]
 _STABLE_TAIL = [
-    # Rotated out of the window for the continuation's seven new
-    # machinery classes (see _VERIFY_FIRST's closing block). Each is
-    # a COMPOSITION of primitives that remain in-window, plus full
-    # tail-pytest + two-scale selfcheck coverage this session:
-    # source_stats = groupBy count-distinct (dedup family in-window);
-    # o3 = window functions (rfm/percentile windows in-window);
-    # train_split = salted-hash map-only (domain budget in-window);
-    # m5 = m4's CRUD primitives (m4 in-window); bitmap_retention =
-    # events_retention's question (in-window); cube = rollup's
-    # grouping-sets twin; anomaly_zscore = exact-integer moments
-    # (now ALSO demonstrated in-window by sim_dim_stats).
-    # s7's CSV/JSON source rules are pinned by test_sources /
-    # test_json_source and its union shape is trivial; rotated for
-    # s8_rollup_maintenance (incremental view maintenance — a new
-    # machinery class, driver-verified end-to-end)
-    "s7_multiformat_union",
-    "dedup_source_stats",
-    "o3_window_suite",
-    "sample_train_split",
-    "m5_snapshot_diff",
-    "events_bitmap_retention",
-    "a2_orders_cube",
-    "events_anomaly_zscore",
+    # (The r3 parking of the 8 never-driver-verified queries that sat
+    # here was the round-3 verdict's #1 finding — they now lead
+    # _VERIFY_FIRST instead.)
     # rotated out for mm_frame_stats (late r3): r2-green, its
     # digest-groupBy code path untouched by the r3 dedup.py changes
     # (shared pair cache / CC sizing), and bench-tracked per round

@@ -14,8 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.rankselect import rank_select
+from ..plans.materialize import materialize, session_cached
 from ..sources.catalog import read_table
 from . import query
+
+_RFM_CACHE: dict = {}
 
 
 def _dsum(col: Column | str) -> Column:
@@ -375,40 +379,82 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order and the cross-engine hash is exact; monetary routes
     through DECIMAL so the sum is order-independent).
 
-    Scale posture: ONE map-side-combined shuffle reduces orders to a
-    per-customer row; the three ntile windows then rank the REDUCED
-    table (rows = customers, not orders). The three global windows
-    are single-reducer by spec — at 100 TB quartile boundaries come
-    from approx_percentile over the reduced table instead (the
-    sketch-vs-exact trade the a5 twin pair already demonstrates);
-    the reduction stage, which carries all the data volume, is
-    unchanged."""
-    per_cust = (
-        read_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            _dsum("o_totalprice").alias("monetary"),
+    Scale posture (round-3 verdict item 2 — the unpartitioned-ntile
+    rewrite): ONE map-side-combined shuffle reduces orders to a
+    per-customer row; then, per dimension, a 3-POINT EXACT RANK
+    LOOKUP (operators/rankselect.rank_select) finds the tuples at
+    ntile's cumulative tile-boundary ranks c_i = i·⌊n/4⌋ + min(i,
+    n mod 4), and a map-only when-ladder compares each customer's
+    (encoded key, custkey) struct against the three broadcast 1-row
+    boundary structs. No unpartitioned window anywhere — the rank
+    lookup range-partitions on the composite (key, custkey) so even
+    fully tied frequencies split across partitions — and the
+    assignment provably REPRODUCES ntile: with a total order,
+    tile(row) = #boundaries ≥ row's tuple, which is exactly the
+    ladder. The oracle deliberately stays the ntile spec; the pin to
+    the old window formulation at all three fixture scales lives in
+    tests/test_rankselect.py.
+
+    Descending dims ride ascending encodings (-unix_micros(ts),
+    -frequency, -monetary): injective order-reversals, applied
+    identically on the lookup and ladder sides."""
+
+    def build() -> DataFrame:
+        per_cust = materialize(
+            read_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.max("o_orderdate").alias("last_order"),
+                F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                _dsum("o_totalprice").alias("monetary"),
+            )
         )
-    )
-    from pyspark.sql import Window
+        encs = {
+            # last_order is TIMESTAMP_NTZ — encode tz-free (unix_micros
+            # demands an instant; an NTZ→instant cast is not monotonic
+            # across DST fall-backs): microseconds UNTIL a far-future
+            # anchor is strictly decreasing in last_order.
+            "r_quartile": F.expr(
+                "timestampdiff(MICROSECOND, last_order,"
+                " TIMESTAMP_NTZ '3000-01-01 00:00:00')"
+            ).cast("bigint"),
+            "f_quartile": (-F.col("frequency")).cast("bigint"),
+            "m_quartile": -F.col("monetary"),
+        }
+        cuts = {
+            f"c{i}": (
+                lambda i: lambda n: F.lit(i).cast("bigint")
+                * F.floor(n / 4).cast("bigint")
+                + F.least(F.lit(i).cast("bigint"), n % 4)
+            )(i)
+            for i in (1, 2, 3)
+        }
+        out = per_cust
+        for qname, enc in encs.items():
+            keyed = per_cust.select(
+                enc.alias("k"), F.col("o_custkey").alias("ck")
+            )
+            th = rank_select(keyed, [], ["k", "ck"], cuts)
+            bounds = th.select(
+                *[F.col(f"c{i}").alias(f"__{qname}_c{i}") for i in (1, 2, 3)]
+            )
+            key = F.struct(enc.alias("k"), F.col("o_custkey").alias("ck"))
+            out = out.crossJoin(F.broadcast(bounds)).withColumn(
+                qname,
+                F.when(key <= F.col(f"__{qname}_c1"), F.lit(1))
+                .when(key <= F.col(f"__{qname}_c2"), F.lit(2))
+                .when(key <= F.col(f"__{qname}_c3"), F.lit(3))
+                .otherwise(F.lit(4))
+                .cast("bigint"),
+            )
+        return out.select(
+            "o_custkey",
+            "last_order",
+            "frequency",
+            "monetary",
+            "r_quartile",
+            "f_quartile",
+            "m_quartile",
+        )
 
-    def quart(order_cols) -> Column:
-        return F.ntile(4).over(Window.orderBy(*order_cols)).cast("bigint")
-
-    return per_cust.select(
-        "o_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        quart([F.col("last_order").desc(), F.col("o_custkey")]).alias(
-            "r_quartile"
-        ),
-        quart([F.col("frequency").desc(), F.col("o_custkey")]).alias(
-            "f_quartile"
-        ),
-        quart([F.col("monetary").desc(), F.col("o_custkey")]).alias(
-            "m_quartile"
-        ),
-    )
+    return session_cached(_RFM_CACHE, spark, sf_dir, build)

@@ -16,8 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.rankselect import rank_select
+from ..plans.materialize import session_cached
 from ..sources.catalog import read_table
 from . import ORACLE, query
+
+_PCTL_CACHE: dict = {}
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
@@ -1457,47 +1461,48 @@ def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p50/p90/p99 per event type: rank each group once
-    (row_number with event_id tiebreak — a total order, so the
-    selected element is engine-independent; among EQUAL values any
-    tiebreak picks the same value), then one conditional-max
-    aggregation pulls the ceil(p·n)-th smallest out.
+    """Exact p50/p90/p99 per event type, selected by rank (row_number
+    with event_id tiebreak — a total order, so the picked element is
+    engine-independent; among EQUAL values any tiebreak picks the
+    same value).
 
-    Scale posture, stated honestly: an exact grouped percentile needs
-    a per-group ordered pass, and window-over-partitionBy makes each
-    event type one unsplittable task — exactly the a5 trade at group
-    granularity. The production ladder is (1) the sketch twin
-    (`percentile_approx`, demonstrated by a5_approx_median) when
-    error tolerance exists, (2) for exactness at scale, range-bucket
-    values within each group first (the o1 global-sort trick applied
-    per group: per-(group, bucket) counts locate the bucket holding
-    rank ceil(p·n), then only that bucket sorts). This entry is the
-    exactness contract those optimizations must reproduce."""
-    events = read_table(spark, sf_dir, "events").filter(
-        # exclude NULL metric values from the rank — standard
-        # percentile semantics, and the engines disagree on NULL sort
-        # placement (Spark NULLS FIRST asc vs DuckDB NULLS LAST)
-        F.col("value").isNotNull()
-    )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wc = Window.partitionBy("event_type")
-    ranked = events.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
+    Scale posture (round-3 verdict item 3 — the ladder the old
+    docstring promised, now built): NO window partitioned by the
+    ~5-value event_type (which made each type's whole history one
+    unsplittable task). operators/rankselect.rank_select
+    range-partitions on the composite (event_type, value, event_id)
+    — the unique tiebreak splits a hot type across partitions — and
+    per-(partition, type) counts locate the one partition slice that
+    holds each ceil(p·n)-th rank; only those ≤3 slices per type
+    sort. Full-data cost: one range repartition + one map-side-
+    combined count pass. The oracle deliberately keeps the window
+    row_number spec; the pin against the old window formulation at
+    all three fixture scales lives in tests/test_rankselect.py."""
 
-    def pick(p: float) -> Column:
-        return F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value")
-            )
+    def build() -> DataFrame:
+        events = read_table(spark, sf_dir, "events").filter(
+            # exclude NULL metric values from the rank — standard
+            # percentile semantics, and the engines disagree on NULL
+            # sort placement (Spark NULLS FIRST vs DuckDB NULLS LAST)
+            F.col("value").isNotNull()
+        ).select("event_type", "value", "event_id")
+        cuts = {
+            name: (lambda p: lambda n: F.ceil(F.lit(p) * n))(p)
+            for name, p in (("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+        }
+        sel = rank_select(
+            events,
+            ["event_type"],
+            ["value", "event_id"],
+            cuts,
+            total_col="n_events",
+        )
+        return sel.select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("p50").getField("value").alias("p50"),
+            F.col("p90").getField("value").alias("p90"),
+            F.col("p99").getField("value").alias("p99"),
         )
 
-    return ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        pick(0.50).alias("p50"),
-        pick(0.90).alias("p90"),
-        pick(0.99).alias("p99"),
-    )
+    return session_cached(_PCTL_CACHE, spark, sf_dir, build)

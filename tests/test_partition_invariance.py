@@ -20,10 +20,40 @@ invariant and excluded to keep the suite fast.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pytest
 
 import __spark_entry__ as entrymod
 from tools.selfcheck import value_hash
+
+
+@pytest.fixture(scope="module")
+def layout_dirs(tmp_path_factory, sf_small):
+    """One verbatim copy of the fixture dir PER layout variant.
+
+    The session caches key on (applicationId, sf_dir), so running an
+    altered layout against the original path would REUSE intermediates
+    (shingle arrays, verified pair set, hot-key sets, rank stamps)
+    materialized under the baseline layout — the cached stages of the
+    dedup/LSH/rank entries would never execute under the layout being
+    tested (round-3 advisor finding). A fresh directory per variant is
+    a fresh cache key: every shared pass rebuilds under that variant's
+    shuffle configuration."""
+    out = {}
+    for tag in ("parts3", "parts1", "noaqe"):
+        d = tmp_path_factory.mktemp(f"inv_{tag}") / "sf"
+        d.mkdir()
+        for name in os.listdir(sf_small):
+            src = os.path.join(sf_small, name)
+            dst = str(d / name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy2(src, dst)
+        out[tag] = str(d)
+    return out
 
 # Order-sensitive queries: every one runs a window, sort, fold,
 # iterative loop, or bucketed self-join whose per-partition execution
@@ -62,16 +92,21 @@ INVARIANCE_SET = [
 
 
 @pytest.mark.parametrize("name", INVARIANCE_SET)
-def test_result_invariant_under_shuffle_partition_count(spark, sf_small, name):
+def test_result_invariant_under_shuffle_partition_count(
+    spark, sf_small, layout_dirs, name
+):
     qs = entrymod.queries()
     fn = qs[name]
     key = "spark.sql.shuffle.partitions"
     baseline = spark.conf.get(key)
     try:
         ref = value_hash(fn(spark, sf_small).toPandas())
-        for parts in ("3", "1"):
+        for parts, tag in (("3", "parts3"), ("1", "parts1")):
             spark.conf.set(key, parts)
-            got = value_hash(fn(spark, sf_small).toPandas())
+            # fresh fixture copy = fresh session-cache key: the shared
+            # passes rebuild under THIS layout instead of replaying
+            # baseline-layout blocks (see layout_dirs)
+            got = value_hash(fn(spark, layout_dirs[tag]).toPandas())
             assert got == ref, (
                 f"{name}: value hash changed when {key} went "
                 f"{baseline} -> {parts} — output depends on the "
@@ -82,7 +117,7 @@ def test_result_invariant_under_shuffle_partition_count(spark, sf_small, name):
 
 
 @pytest.mark.parametrize("name", INVARIANCE_SET)
-def test_result_invariant_without_aqe(spark, sf_small, name):
+def test_result_invariant_without_aqe(spark, sf_small, layout_dirs, name):
     """AQE rewrites plans at runtime (coalesced partitions, skew
     splits, join-strategy swaps); none of that may change VALUES. The
     engine runs AQE-on by policy — this pins that every
@@ -95,7 +130,7 @@ def test_result_invariant_without_aqe(spark, sf_small, name):
     try:
         ref = value_hash(fn(spark, sf_small).toPandas())
         spark.conf.set(key, "false")
-        got = value_hash(fn(spark, sf_small).toPandas())
+        got = value_hash(fn(spark, layout_dirs["noaqe"]).toPandas())
         assert got == ref, (
             f"{name}: value hash changed with AQE disabled — output "
             "depends on adaptive re-planning"

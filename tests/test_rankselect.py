@@ -1,0 +1,262 @@
+"""Distributed rank/rank-select (operators/rankselect.py): the
+scale-safe replacements for unpartitioned windows, pinned EXACTLY
+equal to the single-reducer window formulations they replace —
+including the two round-4 consumer rewrites (orders_rfm_segments,
+events_value_percentiles) at all three fixture scales (round-3
+verdict items 2-3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flat_file_social_media_database_engine_spark.operators.rankselect import (
+    grouped_rank,
+    rank_select,
+)
+
+SCALES = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def _synthetic(spark, n=5000, groups=4):
+    """Rows with heavy ties in the primary order column (the skew case
+    an unpartitioned / per-group window can't split) and a unique
+    tiebreak id."""
+    return spark.range(n).select(
+        (F.col("id") % groups).alias("g"),
+        # ~8 distinct values → massive ties; a hot value spans many
+        # range partitions only because the composite key includes id
+        (F.xxhash64("id") % 8).alias("v"),
+        F.col("id").alias("tid"),
+    )
+
+
+def test_grouped_rank_matches_window_global(spark):
+    df = _synthetic(spark)
+    got = grouped_rank(
+        df, [], [F.col("v").asc(), F.col("tid").asc()], rank_col="rn"
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("v", "tid")
+    want = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_grouped_rank_matches_window_grouped_with_total(spark):
+    df = _synthetic(spark)
+    got = grouped_rank(
+        df,
+        ["g"],
+        [F.col("v").desc(), F.col("tid").asc()],
+        rank_col="rn",
+        total_col="n",
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), "tid")
+    want = df.select(
+        "g",
+        "v",
+        "tid",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 7, 64])
+def test_grouped_rank_partition_count_invariant(spark, parts):
+    """Ranks cannot depend on where the sampled range boundaries
+    fall — any partition count gives the same answer."""
+    df = _synthetic(spark, n=997, groups=3)
+    base = None
+    got = sorted(
+        map(
+            tuple,
+            grouped_rank(
+                df,
+                ["g"],
+                [F.col("v").asc(), F.col("tid").asc()],
+                num_partitions=parts,
+            ).collect(),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("v", "tid")
+    base = sorted(
+        map(
+            tuple,
+            df.withColumn(
+                "rn", F.row_number().over(w).cast("bigint")
+            ).collect(),
+        )
+    )
+    assert got == base
+
+
+def test_rank_select_picks_exact_rows(spark):
+    df = _synthetic(spark, n=3001, groups=5)
+    cuts = {
+        "lo": lambda n: F.lit(1),
+        "mid": lambda n: F.ceil(n / 2),
+        "hi": lambda n: n,
+    }
+    got = rank_select(df, ["g"], ["v", "tid"], cuts, total_col="n")
+    w = Window.partitionBy("g").orderBy("v", "tid")
+    ranked = df.select(
+        "g",
+        "v",
+        "tid",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    want = ranked.filter(
+        (F.col("rn") == 1)
+        | (F.col("rn") == F.ceil(F.col("n") / 2))
+        | (F.col("rn") == F.col("n"))
+    ).collect()
+    want_by_g = {}
+    for r in want:
+        want_by_g.setdefault(r.g, {})[r.rn] = (r.v, r.tid)
+    for row in got.collect():
+        marks = want_by_g[row.g]
+        n = row.n
+        assert (row.lo.v, row.lo.tid) == marks[1]
+        assert (row.mid.v, row.mid.tid) == marks[-(-n // 2)]
+        assert (row.hi.v, row.hi.tid) == marks[n]
+
+
+def test_rank_select_global_empty_input(spark):
+    df = spark.range(0).select(
+        F.col("id").alias("v"), F.col("id").alias("tid")
+    )
+    got = rank_select(
+        df, [], ["v", "tid"], {"c1": lambda n: F.lit(1)}
+    ).collect()
+    assert len(got) == 1 and got[0].c1 is None
+
+
+def test_rank_select_grouped_empty_input(spark):
+    df = spark.range(0).select(
+        F.lit("g").alias("g"), F.col("id").alias("v"), F.col("id").alias("tid")
+    )
+    assert (
+        rank_select(df, ["g"], ["v", "tid"], {"c1": lambda n: F.lit(1)}).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consumer pins: the round-4 scale-safe rewrites must be row-for-row
+# identical to the single-reducer window formulations they replaced,
+# at every fixture scale (round-3 verdict: "pinned hash-identical to
+# the current window formulation at all three fixture scales").
+# ---------------------------------------------------------------------------
+
+
+def _old_rfm_window(spark, sf_dir):
+    """The replaced round-3 formulation: three unpartitioned ntile
+    windows over the reduced per-customer table (workloads/analytics
+    history; the oracle SQL still states this spec)."""
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+    from flat_file_social_media_database_engine_spark.workloads.analytics import (
+        _dsum,
+    )
+
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            _dsum("o_totalprice").alias("monetary"),
+        )
+    )
+
+    def quart(order_cols):
+        return (
+            F.ntile(4)
+            .over(Window.partitionBy(F.lit(0)).orderBy(*order_cols))
+            .cast("bigint")
+        )
+
+    return per_cust.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        quart([F.col("last_order").desc(), F.col("o_custkey")]).alias(
+            "r_quartile"
+        ),
+        quart([F.col("frequency").desc(), F.col("o_custkey")]).alias(
+            "f_quartile"
+        ),
+        quart([F.col("monetary").desc(), F.col("o_custkey")]).alias(
+            "m_quartile"
+        ),
+    )
+
+
+def _old_percentiles_window(spark, sf_dir):
+    """The replaced round-3 formulation: window partitioned by the
+    low-cardinality event_type (the oracle SQL still states it)."""
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def pick(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("value")
+            )
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_rfm_segments_pins_to_window_formulation(spark, sf_dir):
+    from flat_file_social_media_database_engine_spark.workloads.analytics import (
+        orders_rfm_segments,
+    )
+
+    got = sorted(map(tuple, orders_rfm_segments(spark, sf_dir).collect()))
+    want = sorted(map(tuple, _old_rfm_window(spark, sf_dir).collect()))
+    assert got == want
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_value_percentiles_pin_to_window_formulation(spark, sf_dir):
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_value_percentiles,
+    )
+
+    got = sorted(
+        map(tuple, events_value_percentiles(spark, sf_dir).collect())
+    )
+    want = sorted(map(tuple, _old_percentiles_window(spark, sf_dir).collect()))
+    assert got == want
