@@ -60,6 +60,22 @@ _CNT = "__rs_cnt"
 _OFF = "__rs_off"
 _CUT = "__rs_cut"
 _LRN = "__rs_lrn"
+_GRP = "__rs_g"
+
+
+def _sentinel_group(proj):
+    """A REAL stored constant group column for the no-group case.
+
+    ``Window.partitionBy(F.lit(0))`` does not survive Catalyst —
+    constant folding erases the foldable partition key, the spec
+    degenerates to unpartitioned, and WindowExec logs the very
+    single-partition warning this module exists to eliminate (caught
+    empirically: 51 warnings in a bench sweep of the first cut).
+    Materializing the constant INTO the stamped table makes it an
+    attribute of the cached relation — non-foldable downstream, so
+    the offsets window keeps a partition key while still describing
+    one (metadata-sized) partition."""
+    return proj.withColumn(_GRP, F.lit(0))
 
 
 def grouped_rank(
@@ -86,21 +102,22 @@ def grouped_rank(
     """
     spark = df.sparkSession
     parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part_keys = [F.col(c).asc() for c in group_cols] + list(order_by)
+    src = df if group_cols else _sentinel_group(df)
+    grp_cols = list(group_cols) or [_GRP]
+    part_keys = [F.col(c).asc() for c in grp_cols] + list(order_by)
     stamped = materialize(
-        df.repartitionByRange(parts, *part_keys).withColumn(
+        src.repartitionByRange(parts, *part_keys).withColumn(
             _PID, F.spark_partition_id()
         )
     )
 
-    counts = stamped.groupBy(_PID, *group_cols).agg(
+    counts = stamped.groupBy(_PID, *grp_cols).agg(
         F.count(F.lit(1)).alias(_CNT)
     )
-    # ≤ partitions rows per window partition; the lit key keeps the
-    # no-group case off the WindowExec single-partition warning path.
-    grp = [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
+    # ≤ partitions rows per window partition (the sentinel keeps the
+    # no-group case partitioned — see _sentinel_group).
     off_w = (
-        Window.partitionBy(*grp)
+        Window.partitionBy(*grp_cols)
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -108,22 +125,20 @@ def grouped_rank(
         _OFF, F.coalesce(F.sum(_CNT).over(off_w), F.lit(0))
     )
     if total_col is not None:
-        tot_w = Window.partitionBy(*grp)
+        tot_w = Window.partitionBy(*grp_cols)
         offsets = offsets.withColumn(total_col, F.sum(_CNT).over(tot_w))
     offsets = offsets.drop(_CNT)
 
     # partitions × groups rows — metadata-scale for the intended
     # consumers (groups: 1 for a global rank, |event types| for the
     # percentile report); a huge-group caller should drop the hint.
-    ranked = stamped.join(F.broadcast(offsets), [_PID, *group_cols])
-    local_w = Window.partitionBy(_PID, *group_cols).orderBy(*order_by)
-    return (
-        ranked.withColumn(
-            rank_col,
-            (F.row_number().over(local_w) + F.col(_OFF)).cast("bigint"),
-        )
-        .drop(_PID, _OFF)
-    )
+    ranked = stamped.join(F.broadcast(offsets), [_PID, *grp_cols])
+    local_w = Window.partitionBy(_PID, *grp_cols).orderBy(*order_by)
+    out = ranked.withColumn(
+        rank_col,
+        (F.row_number().over(local_w) + F.col(_OFF)).cast("bigint"),
+    ).drop(_PID, _OFF)
+    return out if group_cols else out.drop(_GRP)
 
 
 def rank_select(
@@ -155,19 +170,21 @@ def rank_select(
     spark = df.sparkSession
     parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     proj = df.select(*group_cols, *order_cols)
-    part_keys = [F.col(c).asc() for c in [*group_cols, *order_cols]]
+    if not group_cols:
+        proj = _sentinel_group(proj)
+    grp_cols = list(group_cols) or [_GRP]
+    part_keys = [F.col(c).asc() for c in [*grp_cols, *order_cols]]
     stamped = materialize(
         proj.repartitionByRange(parts, *part_keys).withColumn(
             _PID, F.spark_partition_id()
         )
     )
 
-    counts = stamped.groupBy(_PID, *group_cols).agg(
+    counts = stamped.groupBy(_PID, *grp_cols).agg(
         F.count(F.lit(1)).alias(_CNT)
     )
-    grp = [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
     off_w = (
-        Window.partitionBy(*grp)
+        Window.partitionBy(*grp_cols)
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -176,7 +193,9 @@ def rank_select(
     offsets = materialize(
         counts.withColumn(
             _OFF, F.coalesce(F.sum(_CNT).over(off_w), F.lit(0))
-        ).withColumn(total_col, F.sum(_CNT).over(Window.partitionBy(*grp)))
+        ).withColumn(
+            total_col, F.sum(_CNT).over(Window.partitionBy(*grp_cols))
+        )
     )
 
     targets = None
@@ -185,7 +204,7 @@ def rank_select(
         t = offsets.filter(
             (c > F.col(_OFF)) & (c <= F.col(_OFF) + F.col(_CNT))
         ).select(
-            *group_cols,
+            *grp_cols,
             F.lit(name).alias(_CUT),
             F.col(_PID),
             (c - F.col(_OFF)).cast("int").alias(_LRN),
@@ -194,15 +213,15 @@ def rank_select(
         targets = t if targets is None else targets.unionByName(t)
 
     hit = stamped.join(
-        F.broadcast(targets.select(_PID, *group_cols).distinct()),
-        [_PID, *group_cols],
+        F.broadcast(targets.select(_PID, *grp_cols).distinct()),
+        [_PID, *grp_cols],
         "leftsemi",
     )
-    local_w = Window.partitionBy(_PID, *group_cols).orderBy(
+    local_w = Window.partitionBy(_PID, *grp_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
     picked = hit.withColumn(_LRN, F.row_number().over(local_w)).join(
-        F.broadcast(targets), [_PID, *group_cols, _LRN]
+        F.broadcast(targets), [_PID, *grp_cols, _LRN]
     )
     aggs = [
         F.max(
