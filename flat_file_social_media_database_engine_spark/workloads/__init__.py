@@ -72,6 +72,9 @@ _VERIFY_FIRST = [
     "events_daily_gapfill",
     "dedup_minhash_lsh",
     "sim_neardup_lsh",
+    # NEW r4: first driver-executed STREAMING-path entry (readStream →
+    # stream-stream interval join → AvailableNow → parquet sink)
+    "events_stream_attribution",
     # Everything below the r4 head that was in the r3 head is now
     # r3-driver-green and unchanged this round — dropped from the head
     # list entirely; those queries fall into the mid section (module
