@@ -75,6 +75,10 @@ _VERIFY_FIRST = [
     # NEW r4: first driver-executed STREAMING-path entry (readStream →
     # stream-stream interval join → AvailableNow → parquet sink)
     "events_stream_attribution",
+    # REWRITTEN r4 after the sf1 audit caught its within-cell
+    # all-pairs going 98x on a 10x step: now cell-confirmed LSH pairs
+    # (two-level bucket), new oracle — must re-verify
+    "sim_semantic_dedup",
     # Everything below the r4 head that was in the r3 head is now
     # r3-driver-green and unchanged this round — dropped from the head
     # list entirely; those queries fall into the mid section (module

@@ -712,6 +712,71 @@ def _neardup_lsh_oracle() -> str:
     """
 
 
+_NEARDUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _neardup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFIED embedding near-dup pair set (vec_id_a, vec_id_b,
+    cosine ≥ threshold), built once per (application, sf_dir) and
+    materialized — the embedding twin of dedup.lsh_pairs_shared. Two
+    consumers: the near-dup report (`sim_neardup_lsh`) and the
+    cell-confirmed semantic dedup (`sim_semantic_dedup`)."""
+    from ..plans.materialize import materialize, session_cached
+
+    def build() -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
+        base = emb.select(
+            "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
+        )
+        sigs = _corpus_signatures(spark, sf_dir)
+        # Hot-bucket cap, mirroring the text pipeline's (dedup.py):
+        # mass-duplicate embeddings — and EVERY failed-encoder zero
+        # vector, whose sign bits all agree — land in one (t, sig)
+        # bucket whose self-join is quadratic. Buckets past the cap
+        # are degenerate duplicate clusters (exact dedup territory);
+        # the oracle applies the identical HAVING filter, so the cap
+        # is differential. broadcast the HOT set (rare by definition
+        # — kilobytes at any scale) and anti-join, keeping the
+        # signature side map-only
+        sigs_c = sigs.join(
+            F.broadcast(_hot_sig_keys(spark, sf_dir)), ["t", "sig"], "left_anti"
+        )
+        cand = (
+            sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
+            .join(
+                sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_b")),
+                ["t", "sig"],
+            )
+            .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select("vec_id_a", "vec_id_b")
+            .distinct()
+        )
+        a = base.select(
+            F.col("vec_id").alias("vec_id_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = base.select(
+            F.col("vec_id").alias("vec_id_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        return materialize(
+            cand.join(a, "vec_id_a")
+            .join(b, "vec_id_b")
+            .select(
+                "vec_id_a",
+                "vec_id_b",
+                _cos(_dot("ea", "eb"), F.col("na") * F.col("nb")).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("cosine") >= NEARDUP_COSINE)
+        )
+
+    return session_cached(_NEARDUP_PAIRS_CACHE, spark, sf_dir, build)
+
+
 @query("sim_neardup_lsh", oracle=_neardup_lsh_oracle())
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via LSH buckets: candidate pairs are
@@ -726,54 +791,11 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature pass is one map-only Arrow matmul, the self-join
     shuffles (table, sig) keys only — bucket sizes are geometric in
     the bit count, so candidates grow ~linearly with N (vs N²) — and
-    exact scoring touches only candidates. The signature table is
-    materialized once per session (``_corpus_signatures``) so the
-    self-join's two branches — and the sibling LSH top-k queries —
-    read cached blocks instead of running the matmul again."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
-    sigs = _corpus_signatures(spark, sf_dir)
-    # Hot-bucket cap, mirroring the text pipeline's (dedup.py): mass-
-    # duplicate embeddings — and EVERY failed-encoder zero vector,
-    # whose sign bits all agree — land in one (t, sig) bucket whose
-    # self-join is quadratic. Buckets past the cap are degenerate
-    # duplicate clusters (exact dedup territory); the oracle applies
-    # the identical HAVING filter, so the cap is differential.
-    # broadcast the HOT set (rare by definition — kilobytes at any
-    # scale) and anti-join, keeping the signature side map-only
-    sigs_c = sigs.join(
-        F.broadcast(_hot_sig_keys(spark, sf_dir)), ["t", "sig"], "left_anti"
-    )
-    cand = (
-        sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
-        .join(
-            sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_b")),
-            ["t", "sig"],
-        )
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b")
-        .distinct()
-    )
-    a = base.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    return (
-        cand.join(a, "vec_id_a")
-        .join(b, "vec_id_b")
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            _cos(_dot("ea", "eb"), F.col("na") * F.col("nb")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= NEARDUP_COSINE)
-    )
+    exact scoring touches only candidates. The signature table and
+    the verified pair set are materialized once per session
+    (``_corpus_signatures`` / ``_neardup_pairs_shared``) and shared
+    with the sibling LSH top-k and semantic-dedup queries."""
+    return _neardup_pairs_shared(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -934,11 +956,13 @@ def _kmeans_ctes() -> tuple[str, str]:
     kmeans-trained IVF oracle."""
     zero_v = f"list_transform(range(1, {_DIM} + 1), i -> CAST(0 AS DOUBLE))"
     ctes = [
-        f"""base AS (
+        # named kbase (not base): the semantic-dedup oracle composes
+        # these CTEs with _lsh_sig_ctes, which owns the name `base`
+        f"""kbase AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     )""",
-        f"c_0 AS (SELECT vec_id AS cid, v FROM base WHERE vec_id < {KMEANS_K})",
+        f"c_0 AS (SELECT vec_id AS cid, v FROM kbase WHERE vec_id < {KMEANS_K})",
     ]
     for it in range(KMEANS_ITERS):
         c, a, g, u, cn = f"c_{it}", f"a_{it}", f"g_{it}", f"u_{it}", f"c_{it + 1}"
@@ -949,12 +973,12 @@ def _kmeans_ctes() -> tuple[str, str]:
                row_number() OVER (PARTITION BY b.vec_id
                                   ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid)
                    AS rn
-        FROM base b CROSS JOIN {c} c
+        FROM kbase b CROSS JOIN {c} c
       ) WHERE rn = 1
     )""",
             f"""{g} AS (
       SELECT a.cell, list(b.v ORDER BY b.vec_id) AS vs
-      FROM {a} a JOIN base b USING (vec_id)
+      FROM {a} a JOIN kbase b USING (vec_id)
       GROUP BY a.cell
     )""",
             f"""{u} AS (
@@ -982,7 +1006,7 @@ def _kmeans_oracle() -> str:
       SELECT b.vec_id, c.cid AS cell, {_km_d2_sql('b.v', 'c.v')} AS d2,
              row_number() OVER (PARTITION BY b.vec_id
                                 ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid) AS rn
-      FROM base b CROSS JOIN {final_c} c
+      FROM kbase b CROSS JOIN {final_c} c
     ) WHERE rn = 1
     """
 
@@ -1138,7 +1162,7 @@ def _ivf_kmeans_oracle() -> str:
                row_number() OVER (PARTITION BY b.vec_id
                                   ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid)
                    AS rn
-        FROM base b CROSS JOIN {final_c} c
+        FROM kbase b CROSS JOIN {final_c} c
       ) WHERE rn = 1
     ),
     lists AS (
@@ -1151,7 +1175,7 @@ def _ivf_kmeans_oracle() -> str:
                row_number() OVER (PARTITION BY b.vec_id
                                   ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid)
                    AS rn
-        FROM base b CROSS JOIN {final_c} c
+        FROM kbase b CROSS JOIN {final_c} c
         WHERE b.vec_id < {N_QUERIES}
       ) WHERE rn <= {KMEANS_NPROBE}
     ),
@@ -1693,77 +1717,87 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus, but you can all-pairs each bounded cell.
 # ---------------------------------------------------------------------------
 def _semantic_dedup_oracle() -> str:
-    ctes, final_c = _kmeans_ctes()
+    kctes, final_c = _kmeans_ctes()
     d2 = _km_d2_sql("b.v", "c.v")
-    cos = f"{_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm)"
+    cos = f"{_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
     return f"""
-    WITH {ctes},
+    WITH {_lsh_sig_ctes()},
+    sig_ok AS (
+      SELECT t, sig FROM sigs GROUP BY t, sig
+      HAVING count(*) <= {_EMB_BUCKET_CAP}
+    ),
+    sigs_c AS (
+      SELECT s.* FROM sigs s JOIN sig_ok k ON k.t = s.t AND k.sig = s.sig
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+      FROM sigs_c x
+      JOIN sigs_c y ON y.t = x.t AND y.sig = x.sig
+      WHERE x.vec_id < y.vec_id
+    ),
+    verified AS (
+      SELECT c.vec_id_a, c.vec_id_b, {cos} AS cosine
+      FROM cand c
+      JOIN base a ON a.vec_id = c.vec_id_a
+      JOIN base b ON b.vec_id = c.vec_id_b
+      WHERE {cos} >= {NEARDUP_COSINE}
+    ),
+    {kctes},
     asn AS (
-      SELECT vec_id, cell, v FROM (
-        SELECT b.vec_id, c.cid AS cell, b.v, {d2} AS d2,
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cid AS cell, {d2} AS d2,
                row_number() OVER (PARTITION BY b.vec_id
                                   ORDER BY {d2}, c.cid) AS rn
-        FROM base b CROSS JOIN {final_c} c
+        FROM kbase b CROSS JOIN {final_c} c
       ) WHERE rn = 1
-    ),
-    n AS (
-      SELECT vec_id, cell, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM asn
     )
-    SELECT CAST(a.cell AS BIGINT) AS cell,
-           a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-           {cos} AS cosine
-    FROM n a JOIN n b ON b.cell = a.cell AND a.vec_id < b.vec_id
-    WHERE {cos} >= {NEARDUP_COSINE}
+    SELECT CAST(ca.cell AS BIGINT) AS cell,
+           v.vec_id_a, v.vec_id_b, v.cosine
+    FROM verified v
+    JOIN asn ca ON ca.vec_id = v.vec_id_a
+    JOIN asn cb ON cb.vec_id = v.vec_id_b
+    WHERE ca.cell = cb.cell
     """
 
 
 @query("sim_semantic_dedup", oracle=_semantic_dedup_oracle())
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs bucketed by TRAINED k-means cell: the
-    same Lloyd's quantizer as `sim_kmeans_assign` partitions the
-    corpus, candidate pairs form only inside a cell, and the exact
-    sequential-fold cosine keeps survivors at >= NEARDUP_COSINE. Its
-    pairs are a SUBSET of `sim_neardup_cosine`'s with bit-identical
-    cosines (containment pinned in pytest) — the recall/cost knob is
-    K: more cells = smaller buckets = fewer candidates.
+    """SemDeDup-style semantic dedup, two-level bucketed: a verified
+    pair survives only if BOTH vectors land in the same trained
+    k-means cell (the semantic bucket, Abbas et al. 2023) AND the
+    pair already collides in the hyperplane-LSH signature front (the
+    shared `_neardup_pairs_shared` pass). Pairs remain a SUBSET of
+    `sim_neardup_cosine`'s with bit-identical cosines (containment
+    pinned in pytest).
 
-    Scale posture: assignment is the map-only broadcast argmin
-    (`_km_assign`); the self-join shuffles on `cell`, and each cell's
-    pair count is quadratic only in CELL size, which the trainer
-    bounds by scaling K with N (K here is the fixture-sized 8; the
-    100 TB job picks K ~ N/target_cell and the same plan holds —
-    candidates grow ~N, never N^2). The assigned table materializes
-    once (persist DISK_ONLY + count barrier) so the join's two
-    branches read cached blocks instead of re-running the trainer."""
-    from ..plans.materialize import materialize
-
+    Scale posture — the round-4 rewrite the sf1 audit forced: the
+    previous plan all-paired WITHIN each cell, quadratic in cell
+    occupancy, and the quantizer's fixture-sized K cannot grow with a
+    static-SQL oracle — measured 98x wall on the 10x sf0.1→sf1 step
+    (SCALING.md history). Candidates now come from the capped LSH
+    signature buckets (linear in N, same front as sim_neardup_lsh,
+    session-shared and materialized), and the cell test is two joins
+    of the LSH-bounded pair table against the map-only broadcast
+    argmin assignment — no hints, AQE picks strategies from runtime
+    sizes. Cell size no longer appears in any join's cost."""
+    pairs = _neardup_pairs_shared(spark, sf_dir)
     base, cents = _kmeans_train(spark, sf_dir)
-    withn = materialize(
-        _km_assign(base, cents).select(
-            "vec_id",
-            F.col("cell").cast("bigint").alias("cell"),
-            "v",
-            F.sqrt(_norm2("v")).alias("nrm"),
-        )
+    cells = _km_assign(base, cents).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
     )
-    a = withn.select(
-        "cell",
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+    ca = cells.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("cell").alias("cell_a")
     )
-    b = withn.select(
-        "cell",
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+    cb = cells.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("cell").alias("cell_b")
     )
-    cos = _cos(_dot("va", "vb"), F.col("na") * F.col("nb"))
     return (
-        a.join(b, "cell")
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("cell", "vec_id_a", "vec_id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        pairs.join(ca, "vec_id_a")
+        .join(cb, "vec_id_b")
+        .filter(F.col("cell_a") == F.col("cell_b"))
+        .select(
+            F.col("cell_a").alias("cell"), "vec_id_a", "vec_id_b", "cosine"
+        )
     )
 
 
@@ -1853,7 +1887,7 @@ def _outlier_oracle() -> str:
                row_number() OVER (PARTITION BY b.vec_id
                                   ORDER BY {_km_d2_sql('b.v', 'c.v')}, c.cid)
                    AS rn
-        FROM base b CROSS JOIN {final_c} c
+        FROM kbase b CROSS JOIN {final_c} c
       ) WHERE rn = 1
     )
     SELECT vec_id, CAST(cell AS BIGINT) AS cell, d2 AS dist2, outlier_rank
