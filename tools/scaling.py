@@ -65,6 +65,35 @@ SF1_SET = [
 ]
 
 
+# Standing explanations for queries expected to sit in the REVIEW
+# band (3-10x on a 10x step = per-row cost FELL but wall is no longer
+# overhead-flat): rendered under the table so a REVIEW flag is always
+# accompanied by its analysis or stands out as unexplained.
+REVIEW_NOTES = {
+    "dedup_exact": (
+        "one map-side-combined digest groupBy; sub-second at both "
+        "points — the first step where real hash/shuffle work "
+        "exceeds fixed overhead (per-row cost still fell ~3x)"
+    ),
+    "dedup_span_exact": (
+        "gram-hash shuffle volume grows with the corpus; single "
+        "map-side-combined shuffle, wall 3.3x on 10x data"
+    ),
+    "sim_semantic_dedup": (
+        "LSH candidate volume grows ~linearly with the corpus "
+        "(replica dup structure preserved 10x); constant fold cost "
+        "per candidate — 4x wall on 10x data, vs 98x before the "
+        "round-4 two-level-bucket rewrite"
+    ),
+    "dedup_edit_distance": (
+        "Levenshtein verification is O(len^2) but CONSTANT per "
+        "candidate pair; candidates grow ~10x with the corpus — "
+        "5.1x wall on 10x data is the verifier's first data-bound "
+        "measurement, per-row cost halved"
+    ),
+}
+
+
 def _verdict(r: float) -> str:
     if r > DATA_RATIO:
         return "SUPER-LINEAR"
@@ -143,6 +172,13 @@ def main() -> int:
         f"Flagged SUPER-LINEAR: {flagged if flagged else 'none'}",
         f"REVIEW (3-10x on last measured step): {review if review else 'none'}",
     ]
+    noted = [n for n in flagged + review if n in REVIEW_NOTES]
+    unexplained = [n for n in flagged + review if n not in REVIEW_NOTES]
+    if noted:
+        lines += ["", "Review analysis:"]
+        lines += [f"- `{n}`: {REVIEW_NOTES[n]}" for n in noted]
+    if unexplained:
+        lines += ["", f"UNEXPLAINED review entries (investigate): {unexplained}"]
     if not have_sf1:
         lines.append(
             "",
