@@ -63,6 +63,30 @@ _LRN = "__rs_lrn"
 _GRP = "__rs_g"
 
 
+def _nullsafe_join(left, right, eq_cols, nullsafe_cols, how="inner"):
+    """Equi-join whose ``nullsafe_cols`` match with NULL == NULL.
+
+    Grouping semantics demand it: ``PARTITION BY g`` / ``GROUP BY g``
+    treat NULL as a real group, but a list-of-names equi-join silently
+    drops every NULL-group row (NULL never equals NULL) — caught by
+    the null-robustness differential on a NULL ``event_type`` group.
+    The right side is broadcast (all callers pass metadata-sized
+    offset/target tables); its join columns are renamed away and
+    dropped from the output."""
+    ren = {c: f"__rs_r_{c}" for c in [*eq_cols, *nullsafe_cols]}
+    r = right
+    for c, rc in ren.items():
+        r = r.withColumnRenamed(c, rc)
+    r = F.broadcast(r)
+    cond = F.lit(True)
+    for c in eq_cols:
+        cond = cond & (left[c] == r[ren[c]])
+    for c in nullsafe_cols:
+        cond = cond & left[c].eqNullSafe(r[ren[c]])
+    out = left.join(r, cond, how)
+    return out if how == "leftsemi" else out.drop(*ren.values())
+
+
 def _sentinel_group(proj):
     """A REAL stored constant group column for the no-group case.
 
@@ -132,7 +156,7 @@ def grouped_rank(
     # partitions × groups rows — metadata-scale for the intended
     # consumers (groups: 1 for a global rank, |event types| for the
     # percentile report); a huge-group caller should drop the hint.
-    ranked = stamped.join(F.broadcast(offsets), [_PID, *grp_cols])
+    ranked = _nullsafe_join(stamped, offsets, [_PID], grp_cols)
     local_w = Window.partitionBy(_PID, *grp_cols).orderBy(*order_by)
     out = ranked.withColumn(
         rank_col,
@@ -212,16 +236,21 @@ def rank_select(
         )
         targets = t if targets is None else targets.unionByName(t)
 
-    hit = stamped.join(
-        F.broadcast(targets.select(_PID, *grp_cols).distinct()),
-        [_PID, *grp_cols],
-        "leftsemi",
+    hit = _nullsafe_join(
+        stamped,
+        targets.select(_PID, *grp_cols).distinct(),
+        [_PID],
+        grp_cols,
+        how="leftsemi",
     )
     local_w = Window.partitionBy(_PID, *grp_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
-    picked = hit.withColumn(_LRN, F.row_number().over(local_w)).join(
-        F.broadcast(targets), [_PID, *grp_cols, _LRN]
+    picked = _nullsafe_join(
+        hit.withColumn(_LRN, F.row_number().over(local_w)),
+        targets,
+        [_PID, _LRN],
+        grp_cols,
     )
     aggs = [
         F.max(

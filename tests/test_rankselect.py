@@ -99,6 +99,44 @@ def test_grouped_rank_partition_count_invariant(spark, parts):
     assert got == base
 
 
+def test_grouped_rank_keeps_null_group(spark):
+    """NULL is a real group under PARTITION BY semantics; the offset
+    join must be null-safe or every NULL-group row silently vanishes
+    (the round-4 null-robustness catch on events_value_percentiles)."""
+    df = spark.range(100).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("g"),
+        (F.col("id") % 7).alias("v"),
+        F.col("id").alias("tid"),
+    )
+    got = grouped_rank(
+        df, ["g"], [F.col("v").asc(), F.col("tid").asc()], rank_col="rn"
+    )
+    assert got.count() == 100
+    from collections import Counter
+
+    w = Window.partitionBy("g").orderBy("v", "tid")
+    want = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert Counter(map(tuple, got.select(*want.columns).collect())) == Counter(
+        map(tuple, want.collect())
+    )
+
+
+def test_rank_select_keeps_null_group(spark):
+    df = spark.range(90).select(
+        F.when(F.col("id") % 2 == 0, None).otherwise(F.lit("a")).alias("g"),
+        (F.col("id") % 5).alias("v"),
+        F.col("id").alias("tid"),
+    )
+    got = rank_select(
+        df, ["g"], ["v", "tid"], {"mid": lambda n: F.ceil(n / 2)}
+    )
+    rows = {r.g: r for r in got.collect()}
+    assert set(rows) == {None, "a"}
+    assert rows[None].n == 45 and rows["a"].n == 45
+
+
 def test_rank_select_picks_exact_rows(spark):
     df = _synthetic(spark, n=3001, groups=5)
     cuts = {
