@@ -711,11 +711,27 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before any Levenshtein: ``dist >= |len_a - len_b|``, so a
     pair whose length gap already exceeds the threshold skips the
     O(len²) metric entirely — lengths are a projected column, the
-    metric is not. The relative threshold compares exact integers
-    (``dist * {EDIT_REL_DEN} <= max_len``), and ``rel_dist`` divides
-    the same exact integers once, so both engines agree bitwise. The
-    Levenshtein itself is cross-engine differential (Spark JVM vs
-    DuckDB), not replayed from a shared hash.
+    metric is not. The metric itself is the THRESHOLDED form
+    ``levenshtein(ta, tb, thr)`` with ``thr = floor(max_len /
+    {EDIT_REL_DEN})`` per pair: Spark's 3-arg levenshtein runs the
+    banded (Ukkonen-cutoff) algorithm — O(thr·n) instead of O(n·m) —
+    returning the exact distance when it is ≤ thr and -1 otherwise.
+    ``dist ≤ floor(max_len/DEN) ⟺ dist·DEN ≤ max_len`` on integers,
+    so ``dist >= 0`` selects exactly the rows the relative threshold
+    keeps, and every surviving distance is exact (the band never
+    truncates a kept value). At fixture scale the verifier is
+    candidate-volume-bound (sf1 A/B: ~2.5k pairs × ~335 chars — the
+    metric is noise next to the candidate join), so the band buys
+    nothing measurable there; it is a 100TB posture choice — real
+    corpora have multi-KB documents where O(thr·n) vs O(n·m) is the
+    ~DEN-fold difference between a verify stage that fits its task
+    budget and one that doesn't, with the length-gap early-exit free
+    on top. ``rel_dist`` divides the same exact integers once, so both
+    engines agree bitwise. The Levenshtein itself is cross-engine
+    differential (Spark JVM banded vs DuckDB full-matrix), not
+    replayed from a shared hash — the oracle keeps the unthresholded
+    metric + WHERE, so the band's exactness is itself differentially
+    proven on every run.
 
     Unit contract — UTF-8 BYTES, deliberately: Spark's levenshtein
     edits code points while DuckDB's edits bytes (measured: é→e is
@@ -740,26 +756,42 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = F.length("ta").cast("bigint")
     lb = F.length("tb").cast("bigint")
     longest = F.greatest(la, lb)
-    dist = F.levenshtein("ta", "tb").cast("bigint")
-    return (
+    pre = (
         cand.join(a, "doc_id_a")
         .join(b, "doc_id_b")
         # necessary condition on lengths alone — prunes before the
-        # O(len^2) metric; implied by the final threshold, so the
-        # oracle's single WHERE is semantically identical
+        # metric; implied by the final threshold, so the oracle's
+        # single WHERE is semantically identical
         .filter((longest - F.least(la, lb)) * EDIT_REL_DEN <= longest)
         .select(
             "doc_id_a",
             "doc_id_b",
-            dist.alias("edit_dist"),
+            "ta",
+            "tb",
             la.alias("len_a"),
             lb.alias("len_b"),
+            F.floor(longest / EDIT_REL_DEN).cast("int").alias("__thr"),
+        )
+    )
+    # banded metric: exact when ≤ __thr, -1 above — and -1 is exactly
+    # the set the relative threshold discards (see docstring proof)
+    dist = F.expr("levenshtein(ta, tb, __thr)").cast("bigint")
+    return (
+        pre.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "edit_dist",
+            "len_a",
+            "len_b",
             (
-                dist.cast("double")
-                / F.greatest(la, lb, F.lit(1).cast("bigint")).cast("double")
+                F.col("edit_dist").cast("double")
+                / F.greatest("len_a", "len_b", F.lit(1).cast("bigint")).cast(
+                    "double"
+                )
             ).alias("rel_dist"),
         )
-        .filter(F.col("edit_dist") * EDIT_REL_DEN <= F.greatest("len_a", "len_b"))
     )
 
 
