@@ -298,3 +298,114 @@ def test_value_percentiles_pin_to_window_formulation(spark, sf_dir):
     )
     want = sorted(map(tuple, _old_percentiles_window(spark, sf_dir).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Property differential: random tiny frames (NULL groups, heavy ties,
+# varying partition counts) vs a pure-Python ranking model. The fixture
+# differentials above pin the two shipped consumers; this pins the
+# operator CONTRACT itself across the input space — the same strategy
+# that caught the null-group join drop would have caught it pre-ship.
+# ---------------------------------------------------------------------------
+from collections import Counter  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_row_st = st.tuples(
+    st.sampled_from([None, 0, 1, 2]),  # group (NULL is a real group)
+    st.integers(min_value=-3, max_value=3),  # heavy-tie order value
+)
+_frame_st = st.lists(_row_st, min_size=0, max_size=40)
+
+
+def _mk_df(spark, rows):
+    return spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)],
+        "g int, v int, tid int",
+    )
+
+
+def _model_rank(rows):
+    """(g, v, tid, rank, total) under PARTITION BY g ORDER BY v, tid
+    with NULL a real group (None sorts via the (is-None, value) trick
+    only within model bookkeeping — rank never compares across groups)."""
+    by_g: dict = {}
+    for i, (g, v) in enumerate(rows):
+        by_g.setdefault(g, []).append((v, i))
+    out = []
+    for g, vs in by_g.items():
+        vs.sort()
+        for rn, (v, i) in enumerate(vs, start=1):
+            out.append((g, v, i, rn, len(vs)))
+    return Counter(out)
+
+
+@given(rows=_frame_st, parts=st.sampled_from([1, 2, 7]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouped_rank_matches_model(spark, rows, parts):
+    df = _mk_df(spark, rows)
+    got = grouped_rank(
+        df,
+        ["g"],
+        [F.col("v").asc(), F.col("tid").asc()],
+        rank_col="rn",
+        total_col="n",
+        num_partitions=parts,
+    )
+    have = Counter(
+        (r.g, r.v, r.tid, r.rn, r.n)
+        for r in got.select("g", "v", "tid", "rn", "n").collect()
+    )
+    assert have == _model_rank(rows)
+
+
+@given(rows=_frame_st, parts=st.sampled_from([1, 3]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rank_select_matches_model(spark, rows, parts):
+    df = _mk_df(spark, rows)
+    got = rank_select(
+        df,
+        ["g"],
+        ["v", "tid"],
+        {
+            "lo": lambda n: F.lit(1),
+            "mid": lambda n: F.ceil(n / 2),
+            "hi": lambda n: n,
+            "beyond": lambda n: n + 1,  # always out of range -> null
+        },
+        num_partitions=parts,
+    )
+    by_g: dict = {}
+    for i, (g, v) in enumerate(rows):
+        by_g.setdefault(g, []).append((v, i))
+    want = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        want[g] = (
+            n,
+            vs[0],  # lo
+            vs[(n + 1) // 2 - 1],  # mid = ceil(n/2)
+            vs[n - 1],  # hi
+            None,  # beyond
+        )
+    have = {
+        r.g: (
+            r.n,
+            (r.lo.v, r.lo.tid) if r.lo else None,
+            (r.mid.v, r.mid.tid) if r.mid else None,
+            (r.hi.v, r.hi.tid) if r.hi else None,
+            (r.beyond.v, r.beyond.tid) if r.beyond else None,
+        )
+        for r in got.collect()
+    }
+    assert have == want
