@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_edit_distance",  # continuation: Levenshtein verify on the LSH front
     "sim_dim_stats",  # continuation: exact per-dimension embedding moments
     "events_top_paths",  # continuation: session journey mining (3 stacked windows)
+    "events_stream_attribution",  # r4: real Structured Streaming path (cold
+    # column = stream execution; warm = cached sink read, the declared shape)
 ]
 
 

@@ -411,8 +411,12 @@ def decode_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             yield _decode_batch(pdf)
 
+    from ..sources.catalog import spread
+
     cols = ["media_id", "media_type", "content"]
-    return media.select(*cols).mapInPandas(run, schema=DECODED_SCHEMA)
+    # decode is the CPU floor of this path — never let a packed
+    # upstream file serialize it onto one core (sf1 audit find).
+    return spread(media.select(*cols)).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -208,9 +208,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     it per consumer — re-exploding cached arrays is cheap, it is the
     tokenize+shingle+distinct pass that must not run twice."""
     def build():
-        docs = read_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        docs = read_table(spark, sf_dir, "documents")
         return materialize(
             docs.select("doc_id", _shingles_udf()("text").alias("shingles"))
         )

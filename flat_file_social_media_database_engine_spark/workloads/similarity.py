@@ -142,6 +142,9 @@ def _dot_sql(a: str, b: str) -> str:
     """,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactness baseline: work is corpus x fixed-Q by design; the
+    # scoring fold runs on the (read_table-spread) scan partitions,
+    # the q side only broadcasts.
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm"))
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
@@ -209,8 +212,6 @@ def _signatures(spark: SparkSession, vecs: DataFrame, id_col: str) -> DataFrame:
         ).sum(axis=2)  # (n, T)
         return pd.Series(list(sigs))
 
-    # vectors arrive as few splits; spread the CPU-bound pass first.
-    vecs = vecs.repartition(spark.sparkContext.defaultParallelism)
     return vecs.select(
         F.col(id_col),
         F.posexplode(sig_all_tables("embedding")).alias("t", "sig"),

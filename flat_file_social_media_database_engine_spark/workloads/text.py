@@ -644,9 +644,7 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     it ever is not, the join key is already the shuffle key)."""
     from ..plans.materialize import materialize
 
-    docs = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = read_table(spark, sf_dir, "documents")
     tok = materialize(
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
     )
@@ -800,9 +798,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, mirrored by the oracle)."""
     from ..plans.materialize import materialize
 
-    docs = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = read_table(spark, sf_dir, "documents")
     arr = materialize(docs.select("doc_id", _tokens().alias("toks")))
     tok = arr.select("doc_id", F.explode("toks").alias("token"))
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))

@@ -50,3 +50,34 @@ def test_no_query_plans_an_unpartitioned_window(spark, sf_small):
         "queries planning single-reducer windows (whole input through "
         f"one task at scale): {offenders}"
     )
+
+
+def test_pushdown_survives_the_read_table_spread(spark, sf_small):
+    """read_table spreads the payload tables (documents/embeddings)
+    with a round-robin Repartition so packed single-row-group files
+    can't serialize CPU-heavy narrow chains onto one core. That is
+    only free if Catalyst still pushes filters and column pruning
+    THROUGH the Repartition to the parquet scan — pinned here so a
+    Spark behavior change (or a future spread() rewrite) that silently
+    turns every documents query into a full-table shuffle-then-filter
+    fails loudly."""
+    from pyspark.sql import functions as F
+
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    df = (
+        read_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "source")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,5)]" in plan, plan
+    # scan reads only the projected columns, not text/lang/n_chars
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, plan
+    assert set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id",
+        "source",
+    }, plan
