@@ -79,6 +79,8 @@ SF1_SET = [
     "events_heavy_hitters",
     "events_dau_rolling",
     "events_bitmap_retention",
+    "pipeline_training_mix",
+    "pipeline_clean_corpus",
 ]
 
 
@@ -101,6 +103,21 @@ REVIEW_NOTES = {
         "(replica dup structure preserved 10x); constant fold cost "
         "per candidate — 4x wall on 10x data, vs 98x before the "
         "round-4 two-level-bucket rewrite"
+    ),
+    "pipeline_training_mix": (
+        "capstone composition (quality floor -> exact dedup -> "
+        "stratified budget) whose OUTPUT is the budgeted corpus — "
+        "work has a corpus-linear floor by contract. Every stage is "
+        "map-only or one map-side-combined shuffle; 3.2x wall on 10x "
+        "data with per-row cost falling 3x is the linear shape "
+        "emerging from overhead, not a hidden quadratic term"
+    ),
+    "pipeline_clean_corpus": (
+        "same contract as pipeline_training_mix (the output IS the "
+        "filtered corpus, work is corpus-linear by construction): "
+        "quality-floor scoring rides the scan, the digest dedup is "
+        "one map-side-combined shuffle — 3.2x on 10x data, per-row "
+        "cost fell 3x"
     ),
     "dedup_edit_distance": (
         "candidate pairs grow ~10x with the corpus and the per-pair "
