@@ -18,10 +18,26 @@ from pyspark.sql.types import LongType
 from ..schemas import FIXTURE_TABLES, EVENTS
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a NARROW scan up to cluster parallelism
-    — adaptive guard for CPU-heavy map stages downstream of a packed
-    upstream file.
+# Spread grain: one spread partition per this many COMPRESSED input
+# bytes (~4-5 MB of raw text per task — a few hundred ms of tokenize/
+# hash/decode work, comfortably above the ~150 ms an extra AQE stage
+# costs in local mode; A/B at 256 KB vs 1 MB showed the finer grain
+# losing 0.3s/query at sf0.1 for no sf1 gain). The target grows with
+# the data until it hits cluster width: tiny fixtures keep their
+# cheap one-task plans, the sf1 tier gets 6-way parallelism, and a
+# 100 TB input is already split wider than the cluster so spread()
+# no-ops entirely.
+_SPREAD_GRAIN_BYTES = 1 << 20
+
+
+def spread(
+    df: DataFrame,
+    input_bytes: int | None = None,
+    current_parallelism: int | None = None,
+) -> DataFrame:
+    """Round-robin repartition a NARROW scan toward cluster
+    parallelism — adaptive guard for CPU-heavy map stages downstream
+    of a packed upstream file.
 
     Parquet scan parallelism bottoms out at row-group granularity:
     a writer that packs a table into one row group (DuckDB's default
@@ -31,12 +47,27 @@ def spread(df: DataFrame) -> DataFrame:
     narrow chain hanging off that scan (Arrow decode, tokenize +
     explode, broadcast-join scoring) then runs single-core until its
     first shuffle — the sf1 scaling audit measured 4-7x wall on 10x
-    data for exactly this reason. The guard is a no-op whenever the
-    scan is already split at least cluster-wide (the 100 TB case), so
-    well-laid-out inputs pay nothing."""
+    data for exactly this reason.
+
+    ``input_bytes`` (when known) caps the target work-proportionally
+    at one partition per ``_SPREAD_GRAIN_BYTES``: scheduling 32 tasks
+    over 600 KB costs more in fixed stage overhead than the
+    parallelism returns (measured +0.2s per query at sf0.1). Without
+    the hint the full cluster width is assumed worthwhile.
+
+    ``current_parallelism`` (when the caller knows the scan's real
+    task count, e.g. from the parquet footer) skips the ~40 ms
+    plan-to-RDD conversion the partition probe otherwise costs."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if input_bytes is not None:
+        target = min(target, max(1, -(-input_bytes // _SPREAD_GRAIN_BYTES)))
+    cur = (
+        current_parallelism
+        if current_parallelism is not None
+        else df.rdd.getNumPartitions()
+    )
+    if cur < target:
         return df.repartition(target)
     return df
 
@@ -66,8 +97,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # consumer; spread them HERE so no per-query plan forgets.
         # Filters/pruning still reach the scan — Catalyst pushes both
         # through Repartition (pinned in tests/test_plan_hygiene.py).
-        df = spread(df)
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spread(df, **_scan_shape(path))
     return df
+
+
+def _scan_shape(path: str) -> dict:
+    """(input_bytes, current_parallelism) of a parquet path, from
+    local metadata only. True scan parallelism for a single file is
+    bounded by its row-group count (byte-range splits beyond that
+    read zero rows) — the footer probe is a local metadata read. For
+    a Spark-written DIRECTORY the file count is the (conservative)
+    parallelism floor; no footers are opened."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        return {
+            "input_bytes": sum(os.path.getsize(p) for p in parts),
+            "current_parallelism": max(1, len(parts)),
+        }
+    return {
+        "input_bytes": os.path.getsize(path),
+        "current_parallelism": pq.ParquetFile(path).metadata.num_row_groups,
+    }
 
 
 def load_fixture_tables(

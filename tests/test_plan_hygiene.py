@@ -65,14 +65,22 @@ def test_pushdown_survives_the_read_table_spread(spark, sf_small):
 
     from flat_file_social_media_database_engine_spark.sources.catalog import (
         read_table,
+        spread,
     )
 
+    # Force the repartition regardless of fixture size (read_table's
+    # work-proportional grain skips it for the tiny sf0.001 files):
+    # the property under test is pushdown through the Repartition
+    # node, not when read_table chooses to add one.
     df = (
-        read_table(spark, sf_small, "documents")
+        spread(read_table(spark, sf_small, "documents"), input_bytes=1 << 30)
         .filter(F.col("doc_id") < 5)
         .select("doc_id", "source")
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # the Repartition must actually be in this plan, or the pushdown
+    # assertions below test nothing
+    assert "RoundRobinPartitioning" in plan, plan
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,5)]" in plan, plan
     # scan reads only the projected columns, not text/lang/n_chars
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
