@@ -61,6 +61,8 @@ HEADLINE = [
     "events_top_paths",  # continuation: session journey mining (3 stacked windows)
     "events_stream_attribution",  # r4: real Structured Streaming path (cold
     # column = stream execution; warm = cached sink read, the declared shape)
+    "events_stream_sessionize",  # r4: append-mode session_window with the
+    # sentinel watermark-drain (state finalization on the streaming path)
 ]
 
 

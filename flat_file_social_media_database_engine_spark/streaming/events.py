@@ -69,6 +69,88 @@ def read_events_stream(
     )
 
 
+SENTINEL_USER = -1  # no fixture user_id is negative
+
+
+def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as a file-stream drop-zone PLUS two
+    far-future sentinel events, and return the directory.
+
+    Why: an APPEND-mode streaming aggregation (session_window,
+    tumbling windows) only emits state the watermark has CLOSED. A
+    finite replay therefore never emits the tail — sessions within
+    the watermark delay of the last real event stay open when the
+    stream drains. The production-shaped fix is a watermark-advancer:
+    inject an event far past the real horizon so every real session
+    closes and flushes before termination (the same drain marker an
+    always-on pipeline's planned shutdown emits). Two sentinel FILES
+    (processed after the fixture — file source runs oldest-first)
+    guarantee a final micro-batch executes AFTER the watermark has
+    advanced past every real session. The sentinel user is filtered
+    out of results; its id is negative, which no fixture user is.
+
+    The directory is keyed on the fixture path and rebuilt only if
+    missing, so repeated runs reuse it; sentinel timestamps derive
+    from the fixture's max event time (one metadata-light batch agg)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.catalog import read_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.sha256(
+        ("sentinel:" + os.path.abspath(src)).encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"events_drain_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "00_events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(src), link)
+    mx = read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    if mx is None:
+        # empty fixture: no real sessions exist, so there is no state
+        # to drain — sentinels would only inject rows to filter back
+        # out (caught by the zero-row adversarial suite)
+        return stage
+    for i, hours in enumerate((2, 3)):
+        sent = os.path.join(stage, f"zz_sentinel_{i}.parquet")
+        if not os.path.exists(sent):
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([10**12 + i], pa.int64()),
+                        "ts": pa.array(
+                            [mx + datetime.timedelta(hours=hours)],
+                            pa.timestamp("us"),
+                        ),
+                        "user_id": pa.array([SENTINEL_USER], pa.int64()),
+                        "event_type": pa.array(["__sentinel__"]),
+                        "value": pa.array([0.0], pa.float64()),
+                        "props": pa.array(["{}"]),
+                    }
+                ),
+                sent,
+            )
+    return stage
+
+
+def read_staged_events_stream(
+    spark: SparkSession, stage_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an already-staged drop-zone directory
+    (see ``stage_events_with_sentinels``); same pinned schema and
+    boundary timestamp cast as ``read_events_stream``."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of ``events_hourly_rollup``: 1-hour tumbling
     windows per event_type. Watermark bounds state: a window's state

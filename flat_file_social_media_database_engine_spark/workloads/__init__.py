@@ -75,6 +75,10 @@ _VERIFY_FIRST = [
     # NEW r4: first driver-executed STREAMING-path entry (readStream →
     # stream-stream interval join → AvailableNow → parquet sink)
     "events_stream_attribution",
+    # NEW r4: second streaming-path entry — append-mode session_window
+    # aggregation with the sentinel watermark-drain protocol (state
+    # finalization, the machinery the interval join can't exercise)
+    "events_stream_sessionize",
     # REWRITTEN r4 after the sf1 audit caught its within-cell
     # all-pairs going 98x on a 10x step: now cell-confirmed LSH pairs
     # (two-level bucket), new oracle — must re-verify

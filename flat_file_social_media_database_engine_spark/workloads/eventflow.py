@@ -1597,3 +1597,104 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_cached(_STREAM_ATTR_CACHE, spark, sf_dir, build)
+
+
+# ---------------------------------------------------------------------------
+# Second driver-visible streaming entry: a watermark-CLOSED append-
+# mode aggregation — the other half of the streaming machinery the
+# interval join above cannot exercise (state finalization + eviction
+# rather than match emission). The drain problem and its sentinel
+# solution live in streaming/events.py::stage_events_with_sentinels.
+# ---------------------------------------------------------------------------
+_STREAM_SESS_CACHE: dict = {}
+
+
+@query(
+    "events_stream_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user computed on the STREAMING path
+    in APPEND mode: readStream → ``session_window`` aggregation
+    (stateful merging windows, watermark-bounded state) → AvailableNow
+    micro-batches → parquet sink — then the sink read back, sentinel
+    user removed.
+
+    What this adds over ``events_stream_attribution``: that entry's
+    stream-stream interval join emits matches as they are found, so
+    it never exercises watermark-driven STATE FINALIZATION. Append-
+    mode aggregation does — a session row reaches the sink only when
+    the watermark passes session_end + gap, which on a finite replay
+    requires the sentinel watermark-advancer staged by
+    ``stage_events_with_sentinels`` (the drain marker of a planned
+    always-on shutdown). The oracle is the independent batch
+    formulation: DuckDB's lag/cumsum gap sessionization — so the
+    differential proves session_window's merge semantics, the
+    watermark close-out, and the drain protocol in one hash.
+
+    Scale posture: state is per-(user, OPEN session), not per-user
+    history (the skew answer to the batch twin's unsplittable hot-user
+    window); the sink is append-only files; nothing collects to the
+    driver. Session-cached like every streaming entry so the driver's
+    repeated invocations run the stream once."""
+
+    def build() -> DataFrame:
+        import os
+        import tempfile
+
+        from ..streaming.events import (
+            SENTINEL_USER,
+            read_staged_events_stream,
+            sessionize,
+            stage_events_with_sentinels,
+        )
+
+        stage = stage_events_with_sentinels(spark, sf_dir)
+        sess = sessionize(read_staged_events_stream(spark, stage))
+        base = tempfile.mkdtemp(prefix="stream_sess_")
+        out_dir = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.schema(
+            "user_id bigint, session_start timestamp,"
+            " session_end timestamp, n_events bigint"
+        ).parquet(out_dir)
+        return got.filter(F.col("user_id") != SENTINEL_USER).select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+
+    return session_cached(_STREAM_SESS_CACHE, spark, sf_dir, build)

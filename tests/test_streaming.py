@@ -592,3 +592,37 @@ def test_stream_ingest_feeds_maintained_rollup(spark, tmp_path):
         for row in r.read().collect()
     }
     assert got == want()
+
+
+def test_append_mode_sessionize_drains_via_sentinels(spark):
+    """APPEND-mode session_window only emits watermark-closed state,
+    so a finite replay without a drain marker silently loses the tail
+    sessions. Pins the sentinel protocol end to end: (a) the staged
+    drop-zone carries the two watermark-advancer files, (b) the
+    append-mode sink receives EVERY real session (equality with the
+    batch gap-sessionization, not just a subset), and (c) no sentinel
+    row leaks into the result."""
+    import os
+
+    from flat_file_social_media_database_engine_spark.workloads.eventflow import (
+        events_stream_sessionize,
+    )
+    from flat_file_social_media_database_engine_spark.streaming.events import (
+        SENTINEL_USER,
+        stage_events_with_sentinels,
+    )
+
+    stage = stage_events_with_sentinels(spark, SF)
+    staged = sorted(os.listdir(stage))
+    assert sum(f.startswith("zz_sentinel_") for f in staged) == 2, staged
+
+    got = events_stream_sessionize(spark, SF)
+    assert got.filter(got.user_id == SENTINEL_USER).count() == 0
+
+    want = BE.events_sessionize(spark, SF).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+    assert len(g) > 0
