@@ -235,16 +235,26 @@ def running_value_clamp(
             return
         total = 0.0
         n = 0
+        mx_ms = 0
         for pdf in pdfs:
             total += float(pdf["value"].sum())
             n += len(pdf)
+            if len(pdf):
+                mx_ms = max(mx_ms, int(pdf["ts"].max().value // 1_000_000))
         cum, seen = state.get if state.exists else (0.0, 0)
         cum = max(0.0, cum + total)  # net-sum clamp, once per batch
         seen += n
         state.update((cum, seen))
         wm = state.getCurrentWatermarkMs()
-        # schedule expiry relative to the stream's event-time frontier
-        state.setTimeoutTimestamp(max(wm, 0) + retention_ms)
+        # Schedule expiry relative to the event-time frontier THIS
+        # GROUP has reached, not the global watermark alone: in the
+        # FIRST micro-batch the watermark is still 0 (it advances
+        # between batches), so `wm + retention` lands near the 1970
+        # epoch and fires as soon as the watermark jumps to real event
+        # time — wiping state for every user absent from the second
+        # batch. Found by the chunked-replay differential
+        # (events_stream_clamp); pinned in tests/test_streaming.py.
+        state.setTimeoutTimestamp(max(wm, mx_ms) + retention_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "cum_value": [cum], "n_events": [seen]}
         )
@@ -260,6 +270,115 @@ def running_value_clamp(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def running_net_clamp_micro(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    retention_ms: int = 2 * 60 * 60 * 1000,
+) -> DataFrame:
+    """``running_value_clamp`` in exact integer MICRO-UNITS: values
+    enter the fold as ``floor(value * 1e6)`` int64, so the per-batch
+    net-sum is an integer (associative, order-free) and the whole
+    trajectory is bit-identical to any independent replay of the same
+    batch partitioning — the property that makes the operator
+    DIFFERENTIALLY CHECKABLE (events_stream_clamp's DuckDB recursive-
+    CTE oracle) rather than only model-checkable. The float form
+    above cannot offer that: pandas' pairwise summation vs an
+    oracle's sequential fold diverge in low bits.
+
+    Same state contract: one (int, int) pair per user, event-time
+    timeout at frontier + retention, update-mode emission of
+    (user_id, cum_micro, n_events) per touched user per batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total = 0
+        n = 0
+        mx_ms = 0
+        for pdf in pdfs:
+            total += int(
+                np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum()
+            )
+            n += len(pdf)
+            if len(pdf):
+                mx_ms = max(mx_ms, int(pdf["ts"].max().value // 1_000_000))
+        cum, seen = state.get if state.exists else (0, 0)
+        cum = max(0, cum + total)
+        seen += n
+        state.update((cum, seen))
+        wm = state.getCurrentWatermarkMs()
+        # group frontier, not bare watermark — see running_value_clamp
+        state.setTimeoutTimestamp(max(wm, mx_ms) + retention_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "cum_micro": [cum], "n_events": [seen]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id bigint, cum_micro bigint, n_events bigint",
+            "cum_micro bigint, n_events bigint",
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stage_events_daily(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Stage the events fixture as ONE FILE PER CALENDAR DAY with
+    strictly increasing mtimes, and return (directory, n_days).
+
+    This is the deterministic replay harness for the stateful
+    operators: under ``maxFilesPerTrigger=1`` the file source runs
+    the days oldest-first, so the micro-batch sequence — and with it
+    any per-batch semantics (the clamp fold) — is fully specified by
+    the DATA, which is what lets a SQL oracle replay it (one
+    recursive-CTE fold step per (user, present-day)). Days are
+    contiguous time ranges, so no batch ever carries rows behind the
+    previous batch's watermark.
+
+    The split runs through one driver-side pandas pass — this stages
+    a REPLAY of a bounded fixture (the same trust boundary as the
+    fixture file itself), it is not a query path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.catalog import read_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.sha256(
+        ("daily:" + os.path.abspath(src)).encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"events_daily_{tag}")
+    if os.path.isdir(stage) and os.listdir(stage):
+        return stage, len(os.listdir(stage))
+    os.makedirs(stage, exist_ok=True)
+    pdf = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("__day", F.date_trunc("day", "ts"))
+        .toPandas()
+    )
+    days = sorted(pdf["__day"].unique())
+    for i, d in enumerate(days):
+        part = pdf[pdf["__day"] == d].drop(columns="__day")
+        path = os.path.join(stage, f"{i:04d}_day.parquet")
+        t = pa.Table.from_pandas(part, preserve_index=False)
+        ts_idx = t.schema.get_field_index("ts")
+        t = t.set_column(
+            ts_idx, "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return stage, len(days)
 
 
 def dedupe_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

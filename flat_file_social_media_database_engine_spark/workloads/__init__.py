@@ -79,6 +79,11 @@ _VERIFY_FIRST = [
     # aggregation with the sentinel watermark-drain protocol (state
     # finalization, the machinery the interval join can't exercise)
     "events_stream_sessionize",
+    # NEW r4: the custom stateful operator (applyInPandasWithState)
+    # made hash-verifiable — deterministic per-day replay + integer
+    # micro-units + recursive-CTE oracle. Building it found the
+    # first-batch timeout bug in the shipped clamp.
+    "events_stream_clamp",
     # REWRITTEN r4 after the sf1 audit caught its within-cell
     # all-pairs going 98x on a 10x step: now cell-confirmed LSH pairs
     # (two-level bucket), new oracle — must re-verify

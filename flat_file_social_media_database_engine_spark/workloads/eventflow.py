@@ -1698,3 +1698,129 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_cached(_STREAM_SESS_CACHE, spark, sf_dir, build)
+
+
+# ---------------------------------------------------------------------------
+# Third streaming entry: the CUSTOM STATEFUL OPERATOR
+# (applyInPandasWithState) made driver-verifiable. The clamp fold is
+# non-associative — per-batch semantics — so verification requires a
+# fully specified batch sequence: stage_events_daily gives one file
+# per calendar day, and the oracle replays the identical fold with a
+# DuckDB RECURSIVE CTE (one step per (user, present-day)). Building
+# this differential found a real bug in the first-batch timeout
+# scheduling of the shipped clamp (state wiped for any user absent
+# from batch 2) — see running_value_clamp's timeout comment.
+# ---------------------------------------------------------------------------
+_STREAM_CLAMP_CACHE: dict = {}
+
+
+@query(
+    "events_stream_clamp",
+    oracle="""
+    WITH RECURSIVE days AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             SUM(CAST(floor(value * 1e6) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT user_id, s, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS k,
+             count(*) OVER (PARTITION BY user_id) AS nk
+      FROM days
+    ),
+    fold AS (
+      SELECT user_id, k, nk, greatest(0, s) AS cum, n AS n_events
+      FROM seq WHERE k = 1
+      UNION ALL
+      SELECT q.user_id, q.k, q.nk, greatest(0, f.cum + q.s),
+             f.n_events + q.n
+      FROM fold f JOIN seq q ON q.user_id = f.user_id AND q.k = f.k + 1
+    )
+    SELECT user_id, CAST(cum AS BIGINT) AS cum_micro,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM fold WHERE k = nk
+    """,
+)
+def events_stream_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running net-sum of ``value``, clamped at zero once per
+    micro-batch, computed by the CUSTOM STATEFUL OPERATOR
+    (``running_net_clamp_micro``: applyInPandasWithState, event-time
+    timeout, update mode) over a deterministic one-file-per-day
+    replay: (user_id, cum_micro, n_events) — final state per user.
+
+    Why this entry exists: the clamp makes the fold non-associative,
+    which is exactly why it needs arbitrary stateful processing — and
+    also why it was the one streaming operator with no SQL oracle
+    (its value depends on the micro-batch partitioning). Pinning the
+    partitioning to calendar days makes the fold a pure function of
+    the data, and integer micro-units (floor(value*1e6) — floor, not
+    round: IEEE multiply + floor is bit-identical in both engines,
+    while round differs in half-way tie rules) make every fold step
+    exact, so DuckDB can replay it with a recursive CTE and the
+    driver hash-checks a stateful streaming trajectory end to end.
+
+    Mechanics: update-mode emission goes through ``foreachBatch`` into
+    an append-only parquet log with the epoch id stamped on each row
+    (parquet sinks don't accept update mode; the log-then-latest read
+    is the standard pattern); the final state per user is the row at
+    the max epoch — one partitioned max-struct aggregation, no
+    driver-side state. Retention is set past the fixture horizon so
+    no TTL fires (TTL behavior is pinned separately in
+    tests/test_streaming.py); watermark stays the production 1 hour —
+    day files are contiguous in time, so nothing is ever late.
+
+    Scale posture: state is one (int, int) pair per user; emission is
+    one row per touched user per batch into append-only files; the
+    final aggregation shuffles (user_id)-keyed rows once."""
+
+    def build() -> DataFrame:
+        import os
+        import tempfile
+
+        from ..streaming.events import (
+            read_staged_events_stream,
+            running_net_clamp_micro,
+            stage_events_daily,
+        )
+
+        out_schema = "user_id bigint, cum_micro bigint, n_events bigint"
+        stage, n_days = stage_events_daily(spark, sf_dir)
+        if n_days == 0:
+            return spark.createDataFrame([], out_schema)
+        clamped = running_net_clamp_micro(
+            read_staged_events_stream(spark, stage),
+            retention_ms=90 * 24 * 3600 * 1000,  # past the fixture span
+        )
+        base = tempfile.mkdtemp(prefix="stream_clamp_")
+        out_dir = os.path.join(base, "out")
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        q = (
+            clamped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        log = spark.read.schema(out_schema + ", batch_id bigint").parquet(
+            out_dir
+        )
+        return (
+            log.groupBy("user_id")
+            .agg(F.max(F.struct("batch_id", "cum_micro", "n_events")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.cum_micro").alias("cum_micro"),
+                F.col("s.n_events").alias("n_events"),
+            )
+        )
+
+    return session_cached(_STREAM_CLAMP_CACHE, spark, sf_dir, build)

@@ -277,8 +277,21 @@ def _replayable(emitted, nets, cum=0.0, seen=0):
 
 
 def test_running_clamp_state_expires_after_retention(spark, tmp_path):
-    """Event-time timeout: a user idle past watermark + retention is
-    expired; their next event restarts the counter from zero."""
+    """Event-time timeout: a user idle past THEIR event-time frontier
+    + retention is expired; their next event restarts the counter from
+    zero.
+
+    Batch anatomy (watermark delay 1h, retention 1h — user 7's
+    timeout is therefore due at Jan 1 02:00 event time):
+      b0: user 7 @ Jan 1 00:00 — state (10, 1), timeout Jan 1 02:00
+      b1: user 8 @ Jan 2 00:00 — watermark is still b0's frontier
+          minus 1h (Dec 31 23:00) during this batch: NOT due yet.
+          (The pre-round-4 timeout bug scheduled b0's timeout off the
+          then-zero watermark — epoch + 1h, 1970 — which made it fire
+          HERE; this batch exists to pin that it no longer does.)
+      b2: user 8 @ Jan 2 00:10 — watermark now Jan 1 23:00 > due
+          time and user 7 is absent: state expired.
+      b3: user 7 @ Jan 2 00:30 — returns to fresh state (5, 1)."""
     import glob
     import shutil
 
@@ -287,9 +300,10 @@ def test_running_clamp_state_expires_after_retention(spark, tmp_path):
     d = tmp_path / "ttl_zone" / "events.parquet"
     d.mkdir(parents=True)
     batches = [
-        [(1, "2024-01-01 00:00:00", 7, 10.0)],  # user 7: cum 10
-        [(2, "2024-01-02 00:00:00", 8, 1.0)],   # watermark jumps a day
-        [(3, "2024-01-02 00:30:00", 7, 5.0)],   # user 7 returns: fresh state
+        [(1, "2024-01-01 00:00:00", 7, 10.0)],
+        [(2, "2024-01-02 00:00:00", 8, 1.0)],
+        [(3, "2024-01-02 00:10:00", 8, 1.0)],
+        [(4, "2024-01-02 00:30:00", 7, 5.0)],
     ]
     for i, rows in enumerate(batches):
         df = spark.createDataFrame(
@@ -626,3 +640,53 @@ def test_append_mode_sessionize_drains_via_sentinels(spark):
     w = {tuple(r) for r in want.collect()}
     assert g == w
     assert len(g) > 0
+
+
+def test_running_clamp_state_survives_skipped_batch(spark, tmp_path):
+    """Regression pin for the first-batch timeout bug: the timeout
+    used to be scheduled off the CURRENT watermark — which is still 0
+    during the first micro-batch — so it landed near the 1970 epoch
+    and fired as soon as the watermark advanced to real event time,
+    wiping state for every user absent from the second batch. With a
+    10-day retention nothing should expire here; under the bug user
+    7's counter restarts and the final emission is (5.0, 1)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "skip_zone" / "events.parquet"
+    d.mkdir(parents=True)
+    batches = [
+        [(1, "2024-01-01 00:00:00", 7, 10.0)],  # user 7: cum 10
+        [(2, "2024-01-02 00:00:00", 8, 1.0)],   # user 7 absent; wm advances
+        [(3, "2024-01-02 00:30:00", 7, 5.0)],   # user 7 returns
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, value double"
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            F.lit("click").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        )
+        staging = tmp_path / f"skip_stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, str(d / f"batch_{i}.parquet"))
+
+    stream = SE.read_events_stream(spark, str(tmp_path / "skip_zone"), 1)
+    log = _run_stream_update(
+        spark,
+        SE.running_value_clamp(
+            stream, watermark="1 hour", retention_ms=10 * 24 * 3600_000
+        ),
+        "t_clamp_skip",
+    )
+    u7 = sorted(
+        ((r["cum_value"], r["n_events"]) for r in log.collect() if r["user_id"] == 7),
+    )
+    assert u7 == [(10.0, 1), (15.0, 2)]
