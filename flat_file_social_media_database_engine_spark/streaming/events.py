@@ -333,18 +333,26 @@ def running_net_clamp_micro(
     )
 
 
-def stage_events_daily(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
-    """Stage the events fixture as ONE FILE PER CALENDAR DAY with
-    strictly increasing mtimes, and return (directory, n_days).
+def stage_events_daily(
+    spark: SparkSession, sf_dir: str, unit: str = "day"
+) -> tuple[str, int]:
+    """Stage the events fixture as ONE FILE PER CALENDAR PERIOD
+    (``unit``: "day" or "week", Spark/DuckDB-shared ``date_trunc``
+    semantics — ISO Monday-start weeks in both engines) with strictly
+    increasing mtimes, and return (directory, n_periods).
 
     This is the deterministic replay harness for the stateful
     operators: under ``maxFilesPerTrigger=1`` the file source runs
-    the days oldest-first, so the micro-batch sequence — and with it
-    any per-batch semantics (the clamp fold) — is fully specified by
-    the DATA, which is what lets a SQL oracle replay it (one
-    recursive-CTE fold step per (user, present-day)). Days are
+    the periods oldest-first, so the micro-batch sequence — and with
+    it any per-batch semantics (the clamp fold) — is fully specified
+    by the DATA, which is what lets a SQL oracle replay it (one
+    recursive-CTE fold step per (user, present-period)). Periods are
     contiguous time ranges, so no batch ever carries rows behind the
-    previous batch's watermark.
+    previous batch's watermark. Week granularity exists because each
+    local micro-batch costs ~1.5s of fixed scheduling overhead: the
+    30-day fixture is 30 batches as days but 5 as weeks, with the
+    identical state machinery (carry-across-batch, per-batch clamp,
+    absent-then-returning users) exercised either way.
 
     The split runs through one driver-side pandas pass — this stages
     a REPLAY of a bounded fixture (the same trust boundary as the
@@ -356,21 +364,21 @@ def stage_events_daily(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
 
     src = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.sha256(
-        ("daily:" + os.path.abspath(src)).encode()
+        (unit + "ly:" + os.path.abspath(src)).encode()
     ).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"events_daily_{tag}")
+    stage = os.path.join(tempfile.gettempdir(), f"events_{unit}ly_{tag}")
     if os.path.isdir(stage) and os.listdir(stage):
         return stage, len(os.listdir(stage))
     os.makedirs(stage, exist_ok=True)
     pdf = (
         read_table(spark, sf_dir, "events")
-        .withColumn("__day", F.date_trunc("day", "ts"))
+        .withColumn("__day", F.date_trunc(unit, "ts"))
         .toPandas()
     )
     days = sorted(pdf["__day"].unique())
     for i, d in enumerate(days):
         part = pdf[pdf["__day"] == d].drop(columns="__day")
-        path = os.path.join(stage, f"{i:04d}_day.parquet")
+        path = os.path.join(stage, f"{i:04d}_{unit}.parquet")
         t = pa.Table.from_pandas(part, preserve_index=False)
         ts_idx = t.schema.get_field_index("ts")
         t = t.set_column(

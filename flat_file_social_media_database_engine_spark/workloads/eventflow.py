@@ -1705,8 +1705,10 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (applyInPandasWithState) made driver-verifiable. The clamp fold is
 # non-associative — per-batch semantics — so verification requires a
 # fully specified batch sequence: stage_events_daily gives one file
-# per calendar day, and the oracle replays the identical fold with a
-# DuckDB RECURSIVE CTE (one step per (user, present-day)). Building
+# per calendar ISO week (same state machinery as per-day at 1/6 the
+# micro-batch scheduling overhead), and the oracle replays the
+# identical fold with a DuckDB RECURSIVE CTE (one step per
+# (user, present-week)). Building
 # this differential found a real bug in the first-batch timeout
 # scheduling of the shipped clamp (state wiped for any user absent
 # from batch 2) — see running_value_clamp's timeout comment.
@@ -1718,7 +1720,7 @@ _STREAM_CLAMP_CACHE: dict = {}
     "events_stream_clamp",
     oracle="""
     WITH RECURSIVE days AS (
-      SELECT user_id, date_trunc('day', ts) AS d,
+      SELECT user_id, date_trunc('week', ts) AS d,
              SUM(CAST(floor(value * 1e6) AS BIGINT)) AS s,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2
@@ -1746,15 +1748,18 @@ def events_stream_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running net-sum of ``value``, clamped at zero once per
     micro-batch, computed by the CUSTOM STATEFUL OPERATOR
     (``running_net_clamp_micro``: applyInPandasWithState, event-time
-    timeout, update mode) over a deterministic one-file-per-day
+    timeout, update mode) over a deterministic one-file-per-ISO-week
     replay: (user_id, cum_micro, n_events) — final state per user.
 
     Why this entry exists: the clamp makes the fold non-associative,
     which is exactly why it needs arbitrary stateful processing — and
     also why it was the one streaming operator with no SQL oracle
     (its value depends on the micro-batch partitioning). Pinning the
-    partitioning to calendar days makes the fold a pure function of
-    the data, and integer micro-units (floor(value*1e6) — floor, not
+    partitioning to calendar weeks — ``date_trunc('week')`` is ISO
+    Monday-start in Spark and DuckDB alike — makes the fold a pure
+    function of the data (weeks, not days: identical machinery at 5
+    micro-batches instead of 30, each batch ~1.5s of local fixed
+    overhead), and integer micro-units (floor(value*1e6) — floor, not
     round: IEEE multiply + floor is bit-identical in both engines,
     while round differs in half-way tie rules) make every fold step
     exact, so DuckDB can replay it with a recursive CTE and the
@@ -1768,7 +1773,7 @@ def events_stream_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side state. Retention is set past the fixture horizon so
     no TTL fires (TTL behavior is pinned separately in
     tests/test_streaming.py); watermark stays the production 1 hour —
-    day files are contiguous in time, so nothing is ever late.
+    week files are contiguous in time, so nothing is ever late.
 
     Scale posture: state is one (int, int) pair per user; emission is
     one row per touched user per batch into append-only files; the
@@ -1785,7 +1790,7 @@ def events_stream_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         out_schema = "user_id bigint, cum_micro bigint, n_events bigint"
-        stage, n_days = stage_events_daily(spark, sf_dir)
+        stage, n_days = stage_events_daily(spark, sf_dir, unit="week")
         if n_days == 0:
             return spark.createDataFrame([], out_schema)
         clamped = running_net_clamp_micro(
