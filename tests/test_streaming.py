@@ -276,10 +276,22 @@ def _replayable(emitted, nets, cum=0.0, seen=0):
     return False
 
 
-def test_running_clamp_state_expires_after_retention(spark, tmp_path):
+@pytest.mark.parametrize(
+    "op,val_col,expect",
+    [
+        ("float", "cum_value", [(5.0, 1), (10.0, 1)]),
+        ("micro", "cum_micro", [(5_000_000, 1), (10_000_000, 1)]),
+    ],
+    ids=["float", "micro"],
+)
+def test_running_clamp_state_expires_after_retention(
+    spark, tmp_path, op, val_col, expect
+):
     """Event-time timeout: a user idle past THEIR event-time frontier
     + retention is expired; their next event restarts the counter from
-    zero.
+    zero. Parametrized over BOTH stateful clamps — the float
+    production operator and its integer-micro differential twin carry
+    the same timeout-scheduling lines, so both stay pinned.
 
     Batch anatomy (watermark delay 1h, retention 1h — user 7's
     timeout is therefore due at Jan 1 02:00 event time):
@@ -322,16 +334,17 @@ def test_running_clamp_state_expires_after_retention(spark, tmp_path):
         shutil.copy(part, str(d / f"batch_{i}.parquet"))
 
     stream = SE.read_events_stream(spark, str(tmp_path / "ttl_zone"), 1)
+    make = SE.running_value_clamp if op == "float" else SE.running_net_clamp_micro
     log = _run_stream_update(
         spark,
-        SE.running_value_clamp(stream, watermark="1 hour", retention_ms=3600_000),
-        "t_clamp_ttl",
+        make(stream, watermark="1 hour", retention_ms=3600_000),
+        f"t_clamp_ttl_{op}",
     )
     u7 = sorted(
-        ((r["cum_value"], r["n_events"]) for r in log.collect() if r["user_id"] == 7),
+        ((r[val_col], r["n_events"]) for r in log.collect() if r["user_id"] == 7),
     )
     # first emission: cum 10, n 1; post-expiry emission restarts: cum 5, n 1
-    assert u7 == [(5.0, 1), (10.0, 1)]
+    assert u7 == expect
 
 
 def test_dedupe_stream_drops_redelivered_events(spark, tmp_path):
