@@ -88,6 +88,9 @@ _VERIFY_FIRST = [
     # all-pairs going 98x on a 10x step: now cell-confirmed LSH pairs
     # (two-level bucket), new oracle — must re-verify
     "sim_semantic_dedup",
+    # NEW r4: per-decile recall audit of the LSH front against exact
+    # Jaccard on a deterministic md5-mod sample — first verification
+    "dedup_lsh_recall",
     # Everything below the r4 head that was in the r3 head is now
     # r3-driver-green and unchanged this round — dropped from the head
     # list entirely; those queries fall into the mid section (module

@@ -694,6 +694,112 @@ def lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH recall audit: "measure, don't guess" turned on the dedup front
+# itself. Banding is probabilistic — the 16×4 s-curve CATCHES a
+# jaccard-0.5 pair with p = 1-(1-0.5^4)^16 ≈ 0.64 and a 0.9 pair with
+# p ≈ 1.0 — so a production corpus build periodically audits the
+# front's realized recall per similarity band on a sample, where
+# ground truth (exact Jaccard all-pairs) is affordable. The sample is
+# a deterministic md5-mod predicate, NOT a random split: both engines
+# (and every rerun/backfill) select the identical docs, which is what
+# makes the audit itself oracle-checkable.
+# ---------------------------------------------------------------------------
+AUDIT_SAMPLE_MOD = 10
+AUDIT_SAMPLE_KEEP = 3  # audit fraction 3/10 of docs; at a 100 TB
+# corpus you raise the modulus (e.g. mod 100_000 keeps ~0.003%) so
+# the sample — and with it the exact all-pairs ground-truth cost —
+# stays near-constant while the corpus grows.
+
+
+def _lsh_recall_oracle() -> str:
+    smp = f"{_h60_sql('CAST(doc_id AS VARCHAR)')} % {AUDIT_SAMPLE_MOD} < {AUDIT_SAMPLE_KEEP}"
+    return f"""
+    {_lsh_pairs_ctes()},
+    se AS (
+      SELECT * FROM e WHERE {smp}
+    ),
+    tp AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS common
+      FROM se a JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    tj AS (
+      SELECT doc_id_a, doc_id_b,
+             common / (na.n_shingles + nb.n_shingles - common) AS jaccard
+      FROM tp
+      JOIN sizes na ON na.doc_id = doc_id_a
+      JOIN sizes nb ON nb.doc_id = doc_id_b
+      WHERE common / (na.n_shingles + nb.n_shingles - common)
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(floor(tj.jaccard * 10) AS BIGINT) AS j_bucket,
+           count(*) AS n_true,
+           CAST(sum(CASE WHEN lp.doc_id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST(sum(CASE WHEN lp.doc_id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) / count(*) AS recall
+    FROM tj
+    LEFT JOIN lsh_pairs lp
+      ON lp.doc_id_a = tj.doc_id_a AND lp.doc_id_b = tj.doc_id_b
+    GROUP BY 1
+    """
+
+
+@query("dedup_lsh_recall", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized recall of the MinHash-LSH front per jaccard decile:
+    (j_bucket, n_true, n_caught, recall) where n_true counts sample
+    pairs with exact shingle-Jaccard >= threshold and n_caught the
+    subset the banded front surfaced.
+
+    Plan shape at scale: the sample is a map-only md5-mod PREDICATE
+    on doc_id (no sampling join, no Bernoulli nondeterminism) pushed
+    onto the shared exploded-shingle pass; ground truth is the
+    inverted-index self-join RESTRICTED to the sample — its
+    quadratic-in-collision-set cost is bounded by the sample knob
+    (constants above), which is the standard shape of a recall audit:
+    exactness is paid on a fixed-size slice, never the corpus. The
+    caught side reuses the MATERIALIZED verified pair set
+    (``lsh_pairs_shared``, LSH-bounded), so the audit adds one
+    pair-keyed left join and a 6-row aggregation on top of work the
+    dedup pipeline already did.
+
+    Why per-decile: a single recall number hides exactly the failures
+    that matter — banding theory says recall falls off a cliff just
+    above threshold (p ≈ 0.64 at j = 0.5 for 16×4) while the >= 0.9
+    deciles must be ~1.0; regressions in the hash family, band
+    geometry, or the hot-bucket cap show up as a decile-shape change
+    long before they move the corpus-level dup rate. Jaccard doubles
+    are int/int IEEE divisions — bit-identical in both engines — so
+    the decile floor() is differentially safe."""
+    e, sizes = _doc_shingles(spark, sf_dir)
+    in_sample = (
+        _h60(F.col("doc_id").cast("string")) % AUDIT_SAMPLE_MOD
+        < AUDIT_SAMPLE_KEEP
+    )
+    true_pairs = _pair_jaccard(e.filter(in_sample), sizes).filter(
+        F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
+    )
+    caught = lsh_pairs_shared(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("hit")
+    )
+    return (
+        true_pairs.join(caught, ["doc_id_a", "doc_id_b"], "left")
+        .select(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias("j_bucket"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_caught"),
+        )
+        .withColumn("recall", F.col("n_caught") / F.col("n_true"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance near-dup: the character-level verifier of the dedup
 # family. Shingle Jaccard under-scores small in-place edits spread
 # through a doc (every touched shingle dies); Levenshtein prices them

@@ -567,3 +567,61 @@ def test_hot_bucket_cap_bounds_boilerplate_blowup(spark, tmp_path_factory):
     assert len(sdf) == len(odf)
     assert value_hash(sdf) == value_hash(odf)
     con.close()
+
+
+def test_lsh_recall_audit_planted_deciles(spark, tmp_path_factory):
+    """Plant pairs across jaccard deciles (all inside the audit's
+    md5-mod sample) and check the audit's ground truth exactly and
+    its caught side against banding theory: exact/near-exact pairs
+    (j >= 0.95) MUST be recalled (16x4 miss probability < 1e-13 —
+    with the seeded hash family a miss means the front regressed),
+    every recall is n_caught/n_true, and the just-above-threshold
+    decile is allowed to miss (that's the s-curve the audit exists
+    to watch)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sampled = iter(
+        i
+        for i in range(1000, 100000)
+        if h60(str(i)) % D.AUDIT_SAMPLE_MOD < D.AUDIT_SAMPLE_KEEP
+    )
+
+    def grams(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    # shared-prefix token counts tuned to land one pair per decile
+    # (52 tokens/doc -> 50 grams; j = s/(100-s) for s shared grams)
+    rows, expect = [], defaultdict(int)
+    for k in (36, 41, 45, 48, 51, 52):
+        for rep in range(3):
+            a_id, b_id = next(sampled), next(sampled)
+            ta = [f"k{k}r{rep}a{i}" for i in range(52)]
+            tb = ta[:k] + [f"k{k}r{rep}b{i}" for i in range(52 - k)]
+            rows.append((a_id, " ".join(ta), "en", "s", 1))
+            rows.append((b_id, " ".join(tb), "en", "s", 1))
+            inter = len(grams(ta) & grams(tb))
+            union = len(grams(ta) | grams(tb))
+            j = inter / union
+            assert j >= D.JACCARD_THRESHOLD
+            expect[math.floor(j * 10)] += 1
+    assert len(expect) >= 5  # the plant really spans deciles
+
+    d = tmp_path_factory.mktemp("recall_plant")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {
+        r["j_bucket"]: r for r in D.dedup_lsh_recall(spark, str(d)).collect()
+    }
+    assert {b: r["n_true"] for b, r in out.items()} == dict(expect)
+    for b, r in out.items():
+        assert 0 <= r["n_caught"] <= r["n_true"]
+        assert r["recall"] == pytest.approx(r["n_caught"] / r["n_true"])
+        if b >= 9:  # near-exact pairs: banding cannot miss these
+            assert r["recall"] == 1.0
