@@ -91,6 +91,10 @@ _VERIFY_FIRST = [
     # NEW r4: per-decile recall audit of the LSH front against exact
     # Jaccard on a deterministic md5-mod sample — first verification
     "dedup_lsh_recall",
+    # NEW r4: its embedding-side twin — recall@k of each ANN method
+    # vs the brute-force baseline, oracle composed from the proven
+    # per-method oracles — first verification
+    "sim_recall_audit",
     # Everything below the r4 head that was in the r3 head is now
     # r3-driver-green and unchanged this round — dropped from the head
     # list entirely; those queries fall into the mid section (module

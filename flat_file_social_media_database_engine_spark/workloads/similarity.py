@@ -931,6 +931,109 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN recall audit: the embedding-side twin of dedup_lsh_recall.
+# Every approximate index trades recall for candidate volume; the
+# number that trade actually lands on is an empirical property of the
+# corpus (its hubness, its cluster structure), not of the method —
+# so a production pipeline measures recall@k against the exact
+# baseline on the bounded query set, per method, as a query it can
+# re-run after every re-index.
+# ---------------------------------------------------------------------------
+def _ann_recall_oracle() -> str:
+    """Composes the already-proven per-method oracles as subqueries
+    (each is a complete WITH..SELECT; DuckDB scopes their CTE names
+    locally), so the audit's oracle can never drift from the method
+    oracles it grades."""
+    from . import ORACLE
+
+    def leg(method: str, sub: str) -> str:
+        return f"""
+      SELECT '{method}' AS method,
+             CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t
+      LEFT JOIN ({sub}) a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id"""
+
+    legs = " UNION ALL ".join(
+        leg(m, ORACLE[f"sim_topk_{m}"])
+        for m in ("lsh", "lsh_multiprobe", "ivf")
+    )
+    return f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE["sim_topk_bruteforce"]})
+    ),
+    m AS ({legs})
+    SELECT method, count(*) AS n_true,
+           CAST(sum(hit) AS BIGINT) AS n_caught,
+           CAST(sum(hit) AS BIGINT) / count(*) AS recall
+    FROM m GROUP BY method
+    """
+
+
+@query("sim_recall_audit", oracle=_ann_recall_oracle())
+def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each approximate top-k index against the exact
+    brute-force baseline over the fixed query set: (method, n_true,
+    n_caught, recall), one row per method.
+
+    Plan shape at scale: ground truth is the brute-force pass —
+    already bounded by the FIXED query set (corpus × Q, the price a
+    recall audit pays by definition, amortized by auditing per
+    re-index, not per query); it is computed once and reused across
+    the method legs through the session's shared-pass policy. Each
+    approximate leg reuses ITS pipeline's shared passes (corpus
+    signatures, IVF lists), so the audit's own cost is three
+    (query_id, neighbor_id)-keyed left joins on Q×k-row sets plus a
+    3-row aggregation. Ties: every method ranks by (cosine DESC,
+    neighbor_id) with the identical sequential-fold double cosine, so
+    set membership — and therefore recall — is deterministic in both
+    engines; int/int division keeps the recall doubles bit-identical.
+
+    Expected shape, pinned by test: multiprobe >= single-probe (its
+    probe buckets are a superset), every recall in [0, 1], n_true =
+    Q × k."""
+    from ..plans.materialize import materialize, session_cached
+
+    truth = session_cached(
+        _TRUTH_CACHE,
+        spark,
+        sf_dir,
+        lambda: materialize(
+            sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+        ),
+    )
+    legs = []
+    for method, fn in (
+        ("lsh", sim_topk_lsh),
+        ("lsh_multiprobe", sim_topk_lsh_multiprobe),
+        ("ivf", sim_topk_ivf),
+    ):
+        ap = fn(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        legs.append(
+            truth.join(ap, ["query_id", "neighbor_id"], "left").select(
+                F.lit(method).alias("method"),
+                F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+            )
+        )
+    m = legs[0]
+    for p in legs[1:]:
+        m = m.unionByName(p)
+    return (
+        m.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_caught"),
+        )
+        .withColumn("recall", F.col("n_caught") / F.col("n_true"))
+    )
+
+
+_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+# ---------------------------------------------------------------------------
 # K-means (Lloyd's) — the offline clustering job that produces real
 # IVF centroids (sim_topk_ivf's data-sampled stand-ins graduate
 # here). Two full assign→update rounds plus a final assignment, all

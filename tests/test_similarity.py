@@ -325,3 +325,20 @@ def test_centroid_outliers_rank_planted_far_vector(spark, tmp_path_factory):
     assert by_rank[1]["dist2"] == max(r["dist2"] for r in out)
     # ranks are dense 1..min(N, TOPN)
     assert sorted(by_rank) == list(range(1, len(out) + 1))
+
+
+def test_recall_audit_structure_and_dominance(spark, sf_small):
+    """The ANN recall audit's invariants: one row per audited method,
+    ground-truth denominator = Q x k for every method, recalls in
+    [0, 1] and equal to n_caught/n_true, and multiprobe dominates
+    single-probe (its probe buckets are a strict superset, so any
+    true neighbor the single probe surfaces is also a multiprobe
+    candidate; exact re-score + identical tie-break keep it in the
+    top-k)."""
+    rows = {r["method"]: r for r in S.sim_recall_audit(spark, sf_small).collect()}
+    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf"}
+    for r in rows.values():
+        assert r["n_true"] == S.N_QUERIES * S.TOP_K
+        assert 0 <= r["n_caught"] <= r["n_true"]
+        assert r["recall"] == pytest.approx(r["n_caught"] / r["n_true"])
+    assert rows["lsh_multiprobe"]["n_caught"] >= rows["lsh"]["n_caught"]
