@@ -88,6 +88,11 @@ INVARIANCE_SET = [
     "sim_neardup_lsh",
     "dedup_cross_source",
     "s8_rollup_maintenance",
+    # r4 audits: recall numbers must be layout-independent (the
+    # md5-mod sample and the fixed query set are data properties,
+    # and every leg re-scores exactly)
+    "dedup_lsh_recall",
+    "sim_recall_audit",
 ]
 
 

@@ -38,6 +38,7 @@ DOC_QUERIES = [
     "docs_strip_dup_spans",
     "dedup_edit_distance",
     "dedup_minhash_lsh",
+    "dedup_lsh_recall",
 ]
 
 _DOCS = [
