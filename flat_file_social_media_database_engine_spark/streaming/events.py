@@ -220,9 +220,13 @@ def running_value_clamp(
     arbitrary stateful processing over Arrow batches.
 
     State is one (double, bigint) pair per user, and it is BOUNDED:
-    an event-time timeout expires users idle past the watermark +
-    ``retention_ms`` (the always-on TTL posture; an expired user's
-    counter restarts from zero, like any TTL'd running counter).
+    an event-time timeout expires users idle past
+    ``max(watermark, their own event-time frontier) + retention_ms``
+    (the always-on TTL posture; an expired user's counter restarts
+    from zero, like any TTL'd running counter — see the timeout
+    comment below for why the group frontier participates). Null
+    ``value`` rows count toward n_events but contribute 0 to the sum
+    (SQL SUM-ignores-NULL semantics, matching the batch twin).
     Emits one updated (user_id, cum_value, n_events) row per user per
     micro-batch — update output mode."""
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -237,10 +241,11 @@ def running_value_clamp(
         n = 0
         mx_ms = 0
         for pdf in pdfs:
-            total += float(pdf["value"].sum())
+            total += float(pdf["value"].sum())  # pandas sum skips NaN
             n += len(pdf)
-            if len(pdf):
-                mx_ms = max(mx_ms, int(pdf["ts"].max().value // 1_000_000))
+            mx = pdf["ts"].max()  # skips NaT; NaT only if ALL are
+            if len(pdf) and pd.notna(mx):
+                mx_ms = max(mx_ms, int(mx.value // 1_000_000))
         cum, seen = state.get if state.exists else (0.0, 0)
         cum = max(0.0, cum + total)  # net-sum clamp, once per batch
         seen += n
@@ -303,12 +308,18 @@ def running_net_clamp_micro(
         n = 0
         mx_ms = 0
         for pdf in pdfs:
-            total += int(
-                np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum()
-            )
+            # NaN-safe BEFORE the int cast: floor(NaN).astype(int64)
+            # is INT64_MIN, which would silently poison the fold —
+            # null values must contribute 0 (SQL SUM semantics, and
+            # the oracle's COALESCE(..., 0)) while still counting
+            # toward n_events (COUNT(*)).
+            v = pdf["value"].to_numpy(dtype="float64")
+            v = v[~np.isnan(v)]
+            total += int(np.floor(v * 1e6).astype("int64").sum())
             n += len(pdf)
-            if len(pdf):
-                mx_ms = max(mx_ms, int(pdf["ts"].max().value // 1_000_000))
+            mx = pdf["ts"].max()  # skips NaT; NaT only if ALL are
+            if len(pdf) and pd.notna(mx):
+                mx_ms = max(mx_ms, int(mx.value // 1_000_000))
         cum, seen = state.get if state.exists else (0, 0)
         cum = max(0, cum + total)
         seen += n
@@ -356,29 +367,43 @@ def stage_events_daily(
 
     The split runs through one driver-side pandas pass — this stages
     a REPLAY of a bounded fixture (the same trust boundary as the
-    fixture file itself), it is not a query path."""
+    fixture file itself), it is not a query path. Null-ts rows are
+    excluded from the replay (an event-time operator can neither
+    watermark nor order them); the differential's oracle applies the
+    same ``ts IS NOT NULL`` predicate.
+
+    Publication is ATOMIC: the split is written to a process-private
+    temp dir and ``os.rename``d into place, so a crash mid-staging
+    can never leave a truncated replay that later runs silently
+    reuse, and a concurrent stager loses the rename race cleanly.
+    The cache key hashes the source's (path, size, mtime) so a
+    regenerated fixture at the same path re-stages instead of
+    replaying stale copied data."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from ..sources.catalog import read_table
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    st = os.stat(src)
     tag = hashlib.sha256(
-        (unit + "ly:" + os.path.abspath(src)).encode()
+        f"{unit}ly:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"events_{unit}ly_{tag}")
-    if os.path.isdir(stage) and os.listdir(stage):
+    if os.path.isdir(stage):
         return stage, len(os.listdir(stage))
-    os.makedirs(stage, exist_ok=True)
+    tmp = f"{stage}.tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     pdf = (
         read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .withColumn("__day", F.date_trunc(unit, "ts"))
         .toPandas()
     )
     days = sorted(pdf["__day"].unique())
     for i, d in enumerate(days):
         part = pdf[pdf["__day"] == d].drop(columns="__day")
-        path = os.path.join(stage, f"{i:04d}_{unit}.parquet")
+        path = os.path.join(tmp, f"{i:04d}_{unit}.parquet")
         t = pa.Table.from_pandas(part, preserve_index=False)
         ts_idx = t.schema.get_field_index("ts")
         t = t.set_column(
@@ -386,7 +411,13 @@ def stage_events_daily(
         )
         pq.write_table(t, path)
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
-    return stage, len(days)
+    try:
+        os.rename(tmp, stage)
+    except OSError:  # lost the publish race — the winner's is complete
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return stage, len(os.listdir(stage))
 
 
 def dedupe_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -1720,10 +1720,14 @@ _STREAM_CLAMP_CACHE: dict = {}
     "events_stream_clamp",
     oracle="""
     WITH RECURSIVE days AS (
+      -- ts IS NOT NULL / COALESCE: the replay excludes rows an
+      -- event-time operator can't watermark, and null values count
+      -- toward n but add 0 — mirrored in stage_events_daily and
+      -- running_net_clamp_micro's NaN-safe fold
       SELECT user_id, date_trunc('week', ts) AS d,
-             SUM(CAST(floor(value * 1e6) AS BIGINT)) AS s,
+             SUM(COALESCE(CAST(floor(value * 1e6) AS BIGINT), 0)) AS s,
              COUNT(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     seq AS (
       SELECT user_id, s, n,

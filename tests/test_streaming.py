@@ -703,3 +703,40 @@ def test_running_clamp_state_survives_skipped_batch(spark, tmp_path):
         ((r["cum_value"], r["n_events"]) for r in log.collect() if r["user_id"] == 7),
     )
     assert u7 == [(10.0, 1), (15.0, 2)]
+
+
+def test_micro_clamp_null_value_contributes_zero(spark, tmp_path):
+    """Null-value rows must count toward n_events but add 0 to the
+    fold (SQL SUM semantics, the oracle's COALESCE). Regression pin:
+    floor(NaN).astype(int64) is INT64_MIN, so an unguarded numpy fold
+    turns one null into a ~-9.2e18 batch total that the clamp then
+    silently zeroes."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "null_zone" / "events.parquet"
+    d.mkdir(parents=True)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 10.5), (2, "2024-01-01 00:01:00", 7, None)],
+        "event_id long, ts_s string, user_id long, value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    staging = tmp_path / "null_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = glob.glob(str(staging / "part-*.parquet"))[0]
+    shutil.copy(part, str(d / "batch_0.parquet"))
+
+    stream = SE.read_events_stream(spark, str(tmp_path / "null_zone"), 1)
+    log = _run_stream_update(
+        spark, SE.running_net_clamp_micro(stream), "t_clamp_null"
+    )
+    rows = [(r["cum_micro"], r["n_events"]) for r in log.collect()]
+    assert rows == [(10_500_000, 2)]
