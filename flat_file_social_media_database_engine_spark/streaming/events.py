@@ -89,9 +89,13 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     advanced past every real session. The sentinel user is filtered
     out of results; its id is negative, which no fixture user is.
 
-    The directory is keyed on the fixture path and rebuilt only if
-    missing, so repeated runs reuse it; sentinel timestamps derive
-    from the fixture's max event time (one metadata-light batch agg)."""
+    The directory is keyed on the fixture's (path, size, mtime) —
+    regenerating the fixture at the same path re-stages, so stale
+    sentinels can never sit BEHIND a new horizon and leave sessions
+    undrained — and each sentinel publishes via write-temp-then-rename
+    so a crash mid-write can't leave a corrupt parquet a later run
+    trusts; sentinel timestamps derive from the fixture's max event
+    time (one metadata-light batch agg)."""
     import datetime
 
     import pyarrow as pa
@@ -99,15 +103,16 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
 
     from ..sources.catalog import read_table
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    st = os.stat(src)
     tag = hashlib.sha256(
-        ("sentinel:" + os.path.abspath(src)).encode()
+        f"sentinel:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"events_drain_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "00_events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(src), link)
+        os.symlink(src, link)
     mx = read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     if mx is None:
         # empty fixture: no real sessions exist, so there is no state
@@ -117,6 +122,7 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     for i, hours in enumerate((2, 3)):
         sent = os.path.join(stage, f"zz_sentinel_{i}.parquet")
         if not os.path.exists(sent):
+            tmp = f"{sent}.tmp{os.getpid()}"
             pq.write_table(
                 pa.table(
                     {
@@ -131,8 +137,9 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
                         "props": pa.array(["{}"]),
                     }
                 ),
-                sent,
+                tmp,
             )
+            os.replace(tmp, sent)
     return stage
 
 
