@@ -191,6 +191,11 @@ def rank_select(
     rows): ``group_cols + [total_col] + one struct(order_cols) per
     cut name``. A cut whose rank falls outside [1, n] yields null.
     """
+    if not cuts:
+        # fail fast and loud: the fold below would otherwise pay the
+        # full range-repartition + materialize before dying on a bare
+        # AttributeError from the never-assigned targets frame
+        raise ValueError("rank_select requires at least one cut")
     spark = df.sparkSession
     parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     proj = df.select(*group_cols, *order_cols)

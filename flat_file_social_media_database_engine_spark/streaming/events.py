@@ -59,7 +59,10 @@ def read_events_stream(
         os.makedirs(link_dir, exist_ok=True)
         link = os.path.join(link_dir, "events.parquet")
         if not os.path.exists(link):
-            os.symlink(os.path.abspath(path), link)
+            try:
+                os.symlink(os.path.abspath(path), link)
+            except FileExistsError:  # concurrent stager won the race
+                pass
         path = link_dir
     return (
         spark.readStream.schema(EVENTS)
@@ -112,7 +115,10 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "00_events.parquet")
     if not os.path.exists(link):
-        os.symlink(src, link)
+        try:
+            os.symlink(src, link)
+        except FileExistsError:  # concurrent stager won the race
+            pass
     mx = read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     if mx is None:
         # empty fixture: no real sessions exist, so there is no state
@@ -407,14 +413,28 @@ def stage_events_daily(
         .withColumn("__day", F.date_trunc(unit, "ts"))
         .toPandas()
     )
+    # The pinned EVENTS schema as arrow types: toPandas degrades
+    # NULLABLE int64 columns (a null user_id/event_id anywhere makes
+    # the whole column float64), and writing that as parquet DOUBLE
+    # would break the schema'd stream read-back — from_pandas with an
+    # explicit schema converts back (NaN -> null, integral floats ->
+    # int64, non-integral raise loudly).
+    arrow_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
     days = sorted(pdf["__day"].unique())
     for i, d in enumerate(days):
         part = pdf[pdf["__day"] == d].drop(columns="__day")
         path = os.path.join(tmp, f"{i:04d}_{unit}.parquet")
-        t = pa.Table.from_pandas(part, preserve_index=False)
-        ts_idx = t.schema.get_field_index("ts")
-        t = t.set_column(
-            ts_idx, "ts", t.column("ts").cast(pa.timestamp("us"))
+        t = pa.Table.from_pandas(
+            part, schema=arrow_schema, preserve_index=False
         )
         pq.write_table(t, path)
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
@@ -425,6 +445,48 @@ def stage_events_daily(
 
         shutil.rmtree(tmp, ignore_errors=True)
     return stage, len(os.listdir(stage))
+
+
+def run_stream_to_parquet(
+    df: DataFrame,
+    prefix: str,
+    read_schema: str,
+    output_mode: str = "append",
+    stamp_epoch: bool = False,
+) -> DataFrame:
+    """Drain a finite streaming DataFrame (AvailableNow trigger) into
+    an append-only parquet log under a fresh temp dir and read it back
+    with the pinned schema — the shared sink plumbing of every
+    driver-visible streaming entry. ``stamp_epoch=True`` routes
+    through ``foreachBatch`` and stamps ``batch_id`` on every row
+    (parquet sinks reject update mode; the log-then-reduce read is the
+    standard pattern), appending ``batch_id bigint`` to the read
+    schema."""
+    spark = df.sparkSession
+    base = tempfile.mkdtemp(prefix=prefix)
+    out_dir = os.path.join(base, "out")
+    writer = df.writeStream
+    if stamp_epoch:
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        writer = writer.foreachBatch(sink)
+        read_schema = read_schema + ", batch_id bigint"
+    else:
+        writer = writer.format("parquet").option("path", out_dir)
+    q = (
+        writer.option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(read_schema).parquet(out_dir)
 
 
 def dedupe_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

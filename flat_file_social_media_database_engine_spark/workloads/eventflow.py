@@ -1564,31 +1564,19 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect anywhere."""
 
     def build() -> DataFrame:
-        import os
-        import tempfile
-
         from ..streaming.events import (
             attribution_join_stream,
             read_events_stream,
+            run_stream_to_parquet,
         )
 
         joined = attribution_join_stream(read_events_stream(spark, sf_dir))
-        base = tempfile.mkdtemp(prefix="stream_attr_")
-        out_dir = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        got = spark.read.schema(
+        got = run_stream_to_parquet(
+            joined,
+            "stream_attr_",
             "purchase_id bigint, user_id bigint,"
-            " purchase_ts timestamp, click_ts timestamp"
-        ).parquet(out_dir)
+            " purchase_ts timestamp, click_ts timestamp",
+        )
         return got.select(
             "purchase_id",
             "user_id",
@@ -1613,6 +1601,10 @@ _STREAM_SESS_CACHE: dict = {}
     "events_stream_sessionize",
     oracle=f"""
     WITH flagged AS (
+      -- ts IS NOT NULL: session_window cannot assign a null event
+      -- time to any window (the row vanishes on the streaming side),
+      -- so the oracle applies the same predicate — the contract the
+      -- sibling clamp entry pins the same way
       SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1620,7 +1612,7 @@ _STREAM_SESS_CACHE: dict = {}
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sessions AS (
       SELECT user_id, ts,
@@ -1662,35 +1654,26 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated invocations run the stream once."""
 
     def build() -> DataFrame:
-        import os
-        import tempfile
-
         from ..streaming.events import (
             SENTINEL_USER,
             read_staged_events_stream,
+            run_stream_to_parquet,
             sessionize,
             stage_events_with_sentinels,
         )
 
         stage = stage_events_with_sentinels(spark, sf_dir)
         sess = sessionize(read_staged_events_stream(spark, stage))
-        base = tempfile.mkdtemp(prefix="stream_sess_")
-        out_dir = os.path.join(base, "out")
-        ckpt = os.path.join(base, "ckpt")
-        q = (
-            sess.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        got = spark.read.schema(
+        got = run_stream_to_parquet(
+            sess,
+            "stream_sess_",
             "user_id bigint, session_start timestamp,"
-            " session_end timestamp, n_events bigint"
-        ).parquet(out_dir)
-        return got.filter(F.col("user_id") != SENTINEL_USER).select(
+            " session_end timestamp, n_events bigint",
+        )
+        # eqNullSafe: a plain != evaluates NULL for null-user sessions
+        # (logged-out traffic) and would silently drop rows the oracle
+        # and the batch twin both keep
+        return got.filter(~F.col("user_id").eqNullSafe(SENTINEL_USER)).select(
             "user_id",
             F.col("session_start").cast("timestamp_ntz").alias("session_start"),
             F.col("session_end").cast("timestamp_ntz").alias("session_end"),
@@ -1784,11 +1767,9 @@ def events_stream_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregation shuffles (user_id)-keyed rows once."""
 
     def build() -> DataFrame:
-        import os
-        import tempfile
-
         from ..streaming.events import (
             read_staged_events_stream,
+            run_stream_to_parquet,
             running_net_clamp_micro,
             stage_events_daily,
         )
@@ -1801,26 +1782,12 @@ def events_stream_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_staged_events_stream(spark, stage),
             retention_ms=90 * 24 * 3600 * 1000,  # past the fixture span
         )
-        base = tempfile.mkdtemp(prefix="stream_clamp_")
-        out_dir = os.path.join(base, "out")
-
-        def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            (
-                batch_df.withColumn("batch_id", F.lit(epoch_id))
-                .write.mode("append")
-                .parquet(out_dir)
-            )
-
-        q = (
-            clamped.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        log = spark.read.schema(out_schema + ", batch_id bigint").parquet(
-            out_dir
+        log = run_stream_to_parquet(
+            clamped,
+            "stream_clamp_",
+            out_schema,
+            output_mode="update",
+            stamp_epoch=True,
         )
         return (
             log.groupBy("user_id")

@@ -12,7 +12,7 @@ share the custkey offset, lineitem follows orderkey), and two
 decorrelation steps that keep workload CHARACTER linear instead of
 quadratic:
 
-- documents: every 7th token of each replica's text is tagged with
+- documents: every 2nd token of each replica's text is tagged with
   the replica id, dropping cross-replica Jaccard far below the
   near-dup threshold — the corpus grows 10x, its intra-replica
   duplicate structure is preserved 10x, and no artificial
