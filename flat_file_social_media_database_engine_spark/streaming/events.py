@@ -113,18 +113,36 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"events_drain_{tag}")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "00_events.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(src, link)
-        except FileExistsError:  # concurrent stager won the race
-            pass
+    # The file stream source ignores nested directories, so a
+    # DIRECTORY source (Spark-written table of part files) is staged
+    # as one symlink per part file; a single-file fixture stays one
+    # link. The sessionize entry batches ALL real files into the
+    # first trigger (see its max_files_per_trigger), so inter-file
+    # event-time order can never make a real row late.
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        reals = [(os.path.join(src, p), f"00_events_{j:04d}.parquet")
+                 for j, p in enumerate(parts)]
+    else:
+        reals = [(src, "00_events.parquet")]
+    for target, name in reals:
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            try:
+                os.symlink(target, link)
+            except FileExistsError:  # concurrent stager won the race
+                pass
     mx = read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     if mx is None:
         # empty fixture: no real sessions exist, so there is no state
         # to drain — sentinels would only inject rows to filter back
         # out (caught by the zero-row adversarial suite)
         return stage
+    import time as _time
+
+    now = _time.time()
     for i, hours in enumerate((2, 3)):
         sent = os.path.join(stage, f"zz_sentinel_{i}.parquet")
         if not os.path.exists(sent):
@@ -146,6 +164,11 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
                 tmp,
             )
             os.replace(tmp, sent)
+            # The file source orders micro-batches by mtime: push the
+            # sentinels strictly (hours) after every real file so a
+            # millisecond tie can never pull a sentinel into the real
+            # batch — the drain depends on the sentinels running LAST.
+            os.utime(sent, (now + 3600 * (i + 1), now + 3600 * (i + 1)))
     return stage
 
 

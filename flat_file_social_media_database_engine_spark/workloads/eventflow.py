@@ -1663,7 +1663,22 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         stage = stage_events_with_sentinels(spark, sf_dir)
-        sess = sessionize(read_staged_events_stream(spark, stage))
+        # ALL real part files ride the FIRST micro-batch (the
+        # watermark is still 0 during it, so inter-file event-time
+        # order can never drop a real row as late); the sentinels'
+        # bumped mtimes keep them in later batches, where they do the
+        # draining. A multi-file source streamed one-file-per-trigger
+        # would otherwise lose rows behind the watermark.
+        import os as _os
+
+        n_real = sum(
+            1 for f in _os.listdir(stage) if f.startswith("00_events")
+        )
+        sess = sessionize(
+            read_staged_events_stream(
+                spark, stage, max_files_per_trigger=max(n_real, 1)
+            )
+        )
         got = run_stream_to_parquet(
             sess,
             "stream_sess_",

@@ -95,3 +95,57 @@ def test_query_matches_oracle_with_nulls(spark, nully_dir, oracle_con, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert not (drift := dtype_drift(sdf, odf)), drift
     assert value_hash(sdf) == value_hash(odf), "value hash mismatch"
+
+
+STREAM_QUERIES = ["events_stream_sessionize", "events_stream_clamp"]
+
+
+@pytest.fixture(scope="module")
+def nully_stream_dir(spark, tmp_path_factory):
+    """Streaming-entry fixture: null ts / null user / null value rows
+    AND a multi-part-file layout — the two hazards the streaming
+    replay stagers must absorb (null event time can't be watermarked
+    and is excluded by both engine and oracle; a multi-file source
+    must not lose rows behind the watermark to file ordering)."""
+    d = tmp_path_factory.mktemp("nulls_stream")
+    ev = [
+        (1, datetime(2024, 5, 1, 10, 0, 0), 7, "view", 1.5, "{}"),
+        (2, datetime(2024, 5, 1, 10, 5, 0), 7, "view", None, None),
+        (3, datetime(2024, 5, 1, 11, 0, 0), None, "click", 2.0, "{}"),
+        (4, None, 7, "click", 4.0, "{}"),            # null ts: excluded
+        (5, datetime(2024, 5, 2, 9, 0, 0), None, "click", None, "{}"),
+        (6, datetime(2024, 5, 2, 9, 1, 0), 8, None, -0.5, "{}"),
+        (7, datetime(2024, 5, 8, 9, 0, 0), 8, "purchase", 9.9, None),
+        (8, datetime(2024, 5, 9, 12, 0, 0), 7, "view", -100.0, "{}"),
+    ]
+    (
+        spark.createDataFrame(
+            ev,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string",
+        )
+        .repartition(3)  # several part files on purpose
+        .write.mode("overwrite")
+        .parquet(str(d / "events.parquet"))
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", STREAM_QUERIES)
+def test_streaming_entries_match_oracle_with_nulls(
+    spark, nully_stream_dir, name
+):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, nully_stream_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{nully_stream_dir}/events.parquet/*.parquet')"
+    )
+    odf = con.sql(oracles[name]).df()
+    con.close()
+    assert len(sdf) == len(odf), f"rows {len(sdf)} != {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert not (drift := dtype_drift(sdf, odf)), drift
+    assert value_hash(sdf) == value_hash(odf), "value hash mismatch"
+    assert len(sdf) > 0
