@@ -95,6 +95,10 @@ _VERIFY_FIRST = [
     # vs the brute-force baseline, oracle composed from the proven
     # per-method oracles — first verification
     "sim_recall_audit",
+    # NEW r4: exactly-once snapshot-store ingest (one append commit
+    # per micro-batch + in-band crash-replay probe) — the streaming/
+    # storage integration seam, first verification
+    "events_stream_ingest",
     # Everything below the r4 head that was in the r3 head is now
     # r3-driver-green and unchanged this round — dropped from the head
     # list entirely; those queries fall into the mid section (module

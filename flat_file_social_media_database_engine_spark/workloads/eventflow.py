@@ -1570,7 +1570,13 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             run_stream_to_parquet,
         )
 
-        joined = attribution_join_stream(read_events_stream(spark, sf_dir))
+        # Single micro-batch over the whole source: a multi-part-file
+        # table streamed one-file-per-trigger could advance the
+        # watermark past rows in later files (file order is mtime, not
+        # event time) and silently drop joins the batch oracle keeps.
+        joined = attribution_join_stream(
+            read_events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
+        )
         got = run_stream_to_parquet(
             joined,
             "stream_attr_",
@@ -1815,3 +1821,93 @@ def events_stream_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_cached(_STREAM_CLAMP_CACHE, spark, sf_dir, build)
+
+
+# ---------------------------------------------------------------------------
+# Fourth streaming entry: EXACTLY-ONCE INGEST into the snapshot store
+# (streaming/ingest.py) made driver-verifiable — the integration seam
+# between the streaming tier and the storage tier. The stream appends
+# one snapshot version per micro-batch with the batch id published
+# atomically alongside the data; the entry then REDELIVERS an
+# already-committed batch id (the crash-replay every at-least-once
+# source eventually produces) and the oracle — simply the events
+# table — proves every row landed exactly once anyway.
+# ---------------------------------------------------------------------------
+_STREAM_INGEST_CACHE: dict = {}
+
+
+@query(
+    "events_stream_ingest",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def events_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events fixture through the exactly-once snapshot
+    sink (one ``SnapshotStore.append`` commit per micro-batch, batch
+    id marker published by the same pointer swap) and return the
+    ingested table: every event row, exactly once.
+
+    The differential is end-to-end: the week-staged replay runs ~5
+    micro-batches (5 append commits, 5 versions), then the entry
+    REDELIVERS a full copy of the data under the last committed batch
+    id — the deterministic stand-in for the crash-between-sink-and-
+    checkpoint replay that at-least-once delivery guarantees will
+    eventually happen. The marker check makes the redelivery a no-op;
+    if it ever stopped being one, every row would double and the
+    row-count + hash compare against the plain events table would
+    fail. (The same idempotence is unit-pinned in
+    tests/test_streaming.py; this entry makes it driver-visible.)
+
+    Null-ts rows are excluded by the replay stager and by the
+    oracle's predicate — the same event-time contract as the sibling
+    streaming entries.
+
+    Scale posture: each micro-batch writes only its own rows
+    (O(batch) add-files commit); manifest growth is bounded by
+    ``SnapshotStore.compact``; the redelivery probe reads back only
+    the committed manifest head. Nothing collects to the driver."""
+
+    def build() -> DataFrame:
+        import os
+        import tempfile
+
+        from ..plans.snapshots import SnapshotStore
+        from ..streaming.events import (
+            read_staged_events_stream,
+            stage_events_daily,
+        )
+        from ..streaming.ingest import _marker, append_stream, make_batch_sink
+
+        out_schema = (
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        stage, n_weeks = stage_events_daily(spark, sf_dir, unit="week")
+        if n_weeks == 0:
+            return spark.createDataFrame([], out_schema)
+        base = tempfile.mkdtemp(prefix="stream_ingest_")
+        store = SnapshotStore(spark, os.path.join(base, "store"))
+        q = append_stream(
+            store,
+            read_staged_events_stream(spark, stage),
+            "events",
+            os.path.join(base, "ckpt"),
+            stream_id="driver",
+        )
+        q.awaitTermination()
+        # Crash-replay probe: redeliver under the last COMMITTED id.
+        sink = make_batch_sink(store, "events", stream_id="driver")
+        last = store.meta()[_marker("driver", "events")]
+        sink(store.read("events"), last)
+        return store.read("events").select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    return session_cached(_STREAM_INGEST_CACHE, spark, sf_dir, build)

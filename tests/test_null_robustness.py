@@ -97,7 +97,12 @@ def test_query_matches_oracle_with_nulls(spark, nully_dir, oracle_con, name):
     assert value_hash(sdf) == value_hash(odf), "value hash mismatch"
 
 
-STREAM_QUERIES = ["events_stream_sessionize", "events_stream_clamp"]
+STREAM_QUERIES = [
+    "events_stream_sessionize",
+    "events_stream_clamp",
+    "events_stream_ingest",
+    "events_stream_attribution",
+]
 
 
 @pytest.fixture(scope="module")
@@ -117,6 +122,10 @@ def nully_stream_dir(spark, tmp_path_factory):
         (6, datetime(2024, 5, 2, 9, 1, 0), 8, None, -0.5, "{}"),
         (7, datetime(2024, 5, 8, 9, 0, 0), 8, "purchase", 9.9, None),
         (8, datetime(2024, 5, 9, 12, 0, 0), 7, "view", -100.0, "{}"),
+        # a click->purchase pair inside the attribution hour, so the
+        # interval-join entry has at least one row to hash
+        (9, datetime(2024, 5, 10, 10, 0, 0), 9, "click", 1.0, "{}"),
+        (10, datetime(2024, 5, 10, 10, 30, 0), 9, "purchase", 5.0, "{}"),
     ]
     (
         spark.createDataFrame(
