@@ -48,6 +48,9 @@ SAMPLE = [
     "dedup_clusters",           # consumer-FIRST session-cache order
     "s8_rollup_maintenance",    # store commit protocol, IVM fold
     "q_pricing_summary",        # DECIMAL aggregation discipline
+    "events_stream_clamp",      # stateful streaming: runtime UTC conf,
+                                # Arrow applyInPandasWithState, replay
+                                # staging + checkpoint under plain session
 ]
 for name in SAMPLE:
     n = qs[name](spark, "/root/testdata/sf0.001").count()
