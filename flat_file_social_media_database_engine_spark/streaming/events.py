@@ -75,6 +75,25 @@ def read_events_stream(
 SENTINEL_USER = -1  # no fixture user_id is negative
 
 
+def _source_tag(prefix: str, src: str) -> str:
+    """Content fingerprint of a parquet source — file OR Spark-written
+    directory. Folds every part file's (name, size, mtime_ns): a
+    directory's OWN stat does not change when a part file is rewritten
+    in place, so keying on the dir stat would silently reuse stale
+    staged replays (and stale sentinels that could sit behind a new
+    event horizon)."""
+    h = hashlib.sha256(f"{prefix}:{os.path.abspath(src)}".encode())
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                s = os.stat(os.path.join(src, f))
+                h.update(f"{f}:{s.st_size}:{s.st_mtime_ns}".encode())
+    else:
+        s = os.stat(src)
+        h.update(f"{s.st_size}:{s.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events fixture as a file-stream drop-zone PLUS two
     far-future sentinel events, and return the directory.
@@ -92,13 +111,22 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     advanced past every real session. The sentinel user is filtered
     out of results; its id is negative, which no fixture user is.
 
-    The directory is keyed on the fixture's (path, size, mtime) —
-    regenerating the fixture at the same path re-stages, so stale
-    sentinels can never sit BEHIND a new horizon and leave sessions
-    undrained — and each sentinel publishes via write-temp-then-rename
-    so a crash mid-write can't leave a corrupt parquet a later run
-    trusts; sentinel timestamps derive from the fixture's max event
-    time (one metadata-light batch agg)."""
+    The directory is keyed on the source's per-part-file content
+    fingerprint (``_source_tag``) — regenerating the fixture, even a
+    single part file rewritten in place, re-stages, so stale sentinels
+    can never sit BEHIND a new horizon and leave sessions undrained. A
+    DIRECTORY source is CONSOLIDATED into one staged real file (the
+    file stream source ignores nested dirs, and one real file keeps
+    the replay exactly three micro-batches: all real rows while the
+    watermark is still 0, then each sentinel in its own batch — the
+    two-sentinel drain guarantee would be void if both sentinels rode
+    one batch). Every staged file publishes via dot-prefixed-temp +
+    rename (the source skips '.'-prefixed names, so a crashed or
+    in-flight temp is invisible), with its final mtime set BEFORE the
+    rename so ordering is atomic with publication; sentinel mtimes sit
+    hours past any real file so a millisecond tie can never pull a
+    drain marker into the real batch. Fully-staged directories return
+    on a warm path without running the max-ts job."""
     import datetime
 
     import pyarrow as pa
@@ -107,31 +135,24 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.catalog import read_table
 
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    st = os.stat(src)
-    tag = hashlib.sha256(
-        f"sentinel:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"events_drain_{tag}")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"events_drain_{_source_tag('sentinel', src)}"
+    )
     os.makedirs(stage, exist_ok=True)
-    # The file stream source ignores nested directories, so a
-    # DIRECTORY source (Spark-written table of part files) is staged
-    # as one symlink per part file; a single-file fixture stays one
-    # link. The sessionize entry batches ALL real files into the
-    # first trigger (see its max_files_per_trigger), so inter-file
-    # event-time order can never make a real row late.
-    if os.path.isdir(src):
-        parts = sorted(
-            f for f in os.listdir(src) if f.endswith(".parquet")
-        )
-        reals = [(os.path.join(src, p), f"00_events_{j:04d}.parquet")
-                 for j, p in enumerate(parts)]
-    else:
-        reals = [(src, "00_events.parquet")]
-    for target, name in reals:
-        link = os.path.join(stage, name)
-        if not os.path.exists(link):
+    real = os.path.join(stage, "00_events.parquet")
+    sents = [os.path.join(stage, f"zz_sentinel_{i}.parquet") for i in (0, 1)]
+    if os.path.exists(real) and all(os.path.exists(s) for s in sents):
+        return stage  # content-keyed and complete — no Spark job
+    if not os.path.exists(real):
+        if os.path.isdir(src):
+            tmp = os.path.join(stage, f".00_events.tmp{os.getpid()}")
+            pq.write_table(pq.read_table(src), tmp)
+            # pin the real file well before any sentinel mtime
+            os.utime(tmp, (1_700_000_000, 1_700_000_000))
+            os.replace(tmp, real)
+        else:
             try:
-                os.symlink(target, link)
+                os.symlink(src, real)
             except FileExistsError:  # concurrent stager won the race
                 pass
     mx = read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
@@ -144,9 +165,9 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
 
     now = _time.time()
     for i, hours in enumerate((2, 3)):
-        sent = os.path.join(stage, f"zz_sentinel_{i}.parquet")
+        sent = sents[i]
         if not os.path.exists(sent):
-            tmp = f"{sent}.tmp{os.getpid()}"
+            tmp = os.path.join(stage, f".zz_sentinel_{i}.tmp{os.getpid()}")
             pq.write_table(
                 pa.table(
                     {
@@ -163,12 +184,10 @@ def stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
                 ),
                 tmp,
             )
+            # mtime BEFORE publication: ordering and existence must be
+            # one atomic fact to a concurrent reader
+            os.utime(tmp, (now + 3600 * (i + 1), now + 3600 * (i + 1)))
             os.replace(tmp, sent)
-            # The file source orders micro-batches by mtime: push the
-            # sentinels strictly (hours) after every real file so a
-            # millisecond tie can never pull a sentinel into the real
-            # batch — the drain depends on the sentinels running LAST.
-            os.utime(sent, (now + 3600 * (i + 1), now + 3600 * (i + 1)))
     return stage
 
 
@@ -412,8 +431,9 @@ def stage_events_daily(
     temp dir and ``os.rename``d into place, so a crash mid-staging
     can never leave a truncated replay that later runs silently
     reuse, and a concurrent stager loses the rename race cleanly.
-    The cache key hashes the source's (path, size, mtime) so a
-    regenerated fixture at the same path re-stages instead of
+    The cache key is the source's per-part-file content fingerprint
+    (``_source_tag``) so a regenerated fixture at the same path —
+    even one part file rewritten in place — re-stages instead of
     replaying stale copied data."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -421,10 +441,7 @@ def stage_events_daily(
     from ..sources.catalog import read_table
 
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    st = os.stat(src)
-    tag = hashlib.sha256(
-        f"{unit}ly:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
+    tag = _source_tag(f"{unit}ly", src)
     stage = os.path.join(tempfile.gettempdir(), f"events_{unit}ly_{tag}")
     if os.path.isdir(stage):
         return stage, len(os.listdir(stage))

@@ -1668,23 +1668,13 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage_events_with_sentinels,
         )
 
+        # The stager consolidates any multi-part source into ONE real
+        # file, so one-file-per-trigger always yields the exact
+        # three-batch drain sequence: all real rows (watermark 0 —
+        # inter-file event-time order can never drop a row as late),
+        # then each sentinel in its own batch.
         stage = stage_events_with_sentinels(spark, sf_dir)
-        # ALL real part files ride the FIRST micro-batch (the
-        # watermark is still 0 during it, so inter-file event-time
-        # order can never drop a real row as late); the sentinels'
-        # bumped mtimes keep them in later batches, where they do the
-        # draining. A multi-file source streamed one-file-per-trigger
-        # would otherwise lose rows behind the watermark.
-        import os as _os
-
-        n_real = sum(
-            1 for f in _os.listdir(stage) if f.startswith("00_events")
-        )
-        sess = sessionize(
-            read_staged_events_stream(
-                spark, stage, max_files_per_trigger=max(n_real, 1)
-            )
-        )
+        sess = sessionize(read_staged_events_stream(spark, stage))
         got = run_stream_to_parquet(
             sess,
             "stream_sess_",
