@@ -1891,6 +1891,16 @@ def events_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink = make_batch_sink(store, "events", stream_id="driver")
         last = store.meta()[_marker("driver", "events")]
         sink(store.read("events"), last)
+        # Table maintenance under streaming ingest: per-batch appends
+        # grow the manifest's file list unboundedly at 100 TB, so the
+        # production loop periodically compacts; running it here keeps
+        # the whole lifecycle — N append commits + replayed commit +
+        # compaction rewrite — under the same whole-table oracle
+        # (compaction must preserve contents AND the batch-id marker:
+        # the meta carries forward, so a post-compaction redelivery is
+        # still a no-op).
+        store.compact("events")
+        sink(store.read("events"), last)  # replay AFTER compaction
         return store.read("events").select(
             "event_id",
             F.col("ts").cast("timestamp_ntz").alias("ts"),
