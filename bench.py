@@ -123,30 +123,53 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Cold detail goes on its OWN line, before the contract line: the
+    # round-4 driver captured only the last ~2000 bytes of output and
+    # failed to parse the contract JSON once queries_cold doubled its
+    # length (BENCH_r04.json "parsed": null). Cold values are
+    # first-run walls in HEADLINE order — shared session passes
+    # (shingles, signatures, quantizer) warm progressively during
+    # pass 0, so only the first query touching each shared pass is
+    # genuinely cold; true per-query cold latency would need a fresh
+    # session per query.
+    print(json.dumps({
+        "metric": "headline_cold_wall",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "queries": cold,
+        "method": "first_pass_wall_headline_order_shared_passes_warm_progressively",
+        "sf": sf_val,
+    }))
     out = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
-        "n_queries": len(per_query),  # headline grew r1→r2→r3
-        # (9→16→20); compare per-query times across rounds, not the
-        # total alone
+        "n_queries": len(per_query),  # headline grew r1→…→r4
+        # (9→16→38→40); compare per-query times across rounds, not
+        # the total alone.
         # Shared session passes (shingles, span grams, LSH signatures,
         # k-means quantizer, dequantize table) build during pass 1 and
         # serve pass 2 from cache, so per-query minima measure the
         # amortized cost a multi-query session actually pays — the
         # method string declares it.
         "method": "min_of_2_passes_shared_session_passes_warm",
-        # First-pass wall per query with shared caches cold at this
-        # scale (JIT already warm): the single-query cold latency the
-        # warm minima amortize away.
-        "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if skipped:
         out["skipped"] = skipped
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:
+        # The driver parses the contract line out of a ~2000-byte
+        # stdout tail; shed optional keys before the required ones.
+        for key in ("cold_total", "method", "n_queries"):
+            out.pop(key, None)
+            line = json.dumps(out)
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -189,7 +189,10 @@ def rank_select(
     Returns one row per group present in ``df`` (exactly one row,
     all-null cuts, when ``group_cols`` is empty and ``df`` has no
     rows): ``group_cols + [total_col] + one struct(order_cols) per
-    cut name``. A cut whose rank falls outside [1, n] yields null.
+    cut name``. A cut whose rank falls outside [1, n] yields null —
+    including when EVERY cut for a group is out of range: the group
+    row survives (totals from the metadata-sized offsets table,
+    all cuts null), it does not vanish from the output.
     """
     if not cuts:
         # fail fast and loud: the fold below would otherwise pay the
@@ -266,7 +269,15 @@ def rank_select(
         ).alias(name)
         for name in cuts
     ]
-    n_agg = F.max(F.col(total_col)).alias(total_col)
-    if group_cols:
-        return picked.groupBy(*group_cols).agg(n_agg, *aggs)
-    return picked.agg(n_agg, *aggs)
+    if not group_cols:
+        return picked.agg(F.max(F.col(total_col)).alias(total_col), *aggs)
+    # One row per group present in df even when every cut for the
+    # group falls outside [1, n] (then no target row survives the
+    # rank filter and the group would otherwise vanish): the group
+    # universe and totals live in the metadata-sized offsets table,
+    # so aggregate it for the spine and left-join the picked cuts on.
+    groups = offsets.groupBy(*grp_cols).agg(
+        F.max(F.col(total_col)).alias(total_col)
+    )
+    picked_agg = picked.groupBy(*group_cols).agg(*aggs)
+    return _nullsafe_join(groups, picked_agg, [], grp_cols, how="left")

@@ -23,15 +23,53 @@ import re
 import __spark_entry__ as entrymod
 
 
+def _first_top_level_arg(s: str) -> str:
+    """Prefix of ``s`` up to the first top-level ``,`` or the spec's
+    closing ``)`` — balanced-paren aware, so a first ORDER BY
+    expression that is itself a call (``cast(x as bigint) ASC``)
+    isn't truncated at its inner ``)`` (the round-4 advisor's
+    false-negative: the paren-truncated token lost its ASC/DESC
+    marker and the offender passed the gate)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return s[:i]
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[:i]
+    return s
+
+
 def _unpartitioned_specs(plan: str) -> list[str]:
     hits = []
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
-        first = m.group(1).split(",")[0].strip()
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        first = _first_top_level_arg(plan[m.end():]).strip()
         if first.startswith("specifiedwindowframe") or (
             " ASC" in first or " DESC" in first
         ):
             hits.append(first[:60])
     return hits
+
+
+def test_unpartitioned_spec_detector_grammar():
+    """The detector itself: balanced first-arg extraction must flag a
+    spec whose first ORDER BY expression is a function call, and must
+    not flag a partitioned spec whose partition key is a call."""
+    assert _unpartitioned_specs(
+        "windowspecdefinition(cast(x#1 as bigint) ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    assert _unpartitioned_specs(
+        "windowspecdefinition(specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$()))"
+    )
+    assert not _unpartitioned_specs(
+        "windowspecdefinition(coalesce(g#2, 0) , v#3 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
 
 
 def test_no_query_plans_an_unpartitioned_window(spark, sf_small):

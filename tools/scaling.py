@@ -150,6 +150,22 @@ def _verdict(r: float, wall: float) -> str:
     return "sub-linear/overhead"
 
 
+# Hand-maintained SCALING.md content below this marker survives
+# regeneration (the round-4 advisor caught tools/scaling.py silently
+# erasing the '## Correctness at sf1' section on rewrite).
+PRESERVE_MARKER = "## Correctness at sf1"
+
+
+def _preserved_tail(out_path: str) -> str:
+    try:
+        with open(out_path) as f:
+            old = f.read()
+    except OSError:
+        return ""
+    idx = old.find(PRESERVE_MARKER)
+    return old[idx:] if idx >= 0 else ""
+
+
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.md"
 
@@ -187,8 +203,9 @@ def main() -> int:
         "cost fell — the data-dominated linear shape). Bands: r<=3",
         "sub-linear/overhead, 3<r<=10 REVIEW (noise-floor instead when",
         "the step's larger wall is <1s — a ratio of two sub-second",
-        "walls is jitter, not evidence), r>10 SUPER-LINEAR (fails,",
-        "never floored).",
+        "walls is jitter, not evidence), r>10 SUPER-LINEAR (fails;",
+        "flagged on ANY measured step — the last step unconditionally,",
+        "earlier steps when the step's larger wall is >=1s).",
         "The sf1 tier is synthesized by tools/make_sf1.py (10x sf0.1,",
         "decorrelated replicas); queries outside SF1_SET show `-`.",
         "",
@@ -202,10 +219,17 @@ def main() -> int:
         d = times[n].get("1")
         r1 = c / b if b > 0 else float("inf")
         r2 = (d / c) if (d is not None and c > 0) else None
-        # judge the LAST measured step — the most data-bound one
+        # cost/row reports off the LAST measured step (the most
+        # data-bound one), but SUPER-LINEAR flags on ANY step: a >10x
+        # sf0.01->sf0.1 blowup is a real signal even when the
+        # sf0.1->sf1 ratio is tame (round-4 advisor). The noise floor
+        # still applies — a ratio of two sub-second walls is jitter.
         r_last = r2 if r2 is not None else r1
         wall_last = d if d is not None else c
         verdict = _verdict(r_last, wall_last)
+        if verdict != "SUPER-LINEAR" and r2 is not None:
+            if r1 > DATA_RATIO and c >= NOISE_FLOOR_SEC:
+                verdict = "SUPER-LINEAR"
         if verdict == "SUPER-LINEAR":
             flagged.append(n)
         elif verdict == "REVIEW":
@@ -244,6 +268,9 @@ def main() -> int:
             "(run `python tools/make_sf1.py`)."
         )
     lines.append("")
+    preserved = _preserved_tail(out_path)
+    if preserved:
+        lines.append(preserved)
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines[-4:]))
