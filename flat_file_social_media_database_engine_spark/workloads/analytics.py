@@ -258,6 +258,128 @@ def a1_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Market-basket co-occurrence — pairwise part lift within orders
+# (the support/lift core of association-rule mining, Agrawal &
+# Srikant VLDB'94). Pair generation is the classic quadratic risk:
+# a k-item basket yields C(k,2) pairs, so one pathological mega-
+# basket (a crawler cart, a bot order) can emit billions of pairs
+# from a single group. The guard is the same posture as the LSH
+# hot-bucket cap: baskets over _BASKET_CAP items are excluded, in
+# BOTH engines, so the bound is part of the verified semantics —
+# TPC-H orders top out at 7 lineitems, so the cap never bites on the
+# fixtures, but the 100 TB plan carries it structurally.
+# Plan shape: ONE data-sized shuffle (groupBy orderkey into a sorted
+# distinct-part array), pair expansion map-side from the array
+# (collect_set dedups repeated parts within an order), then a
+# map-side-combined count on the already-reduced pair stream; part
+# frequencies and the basket total ride the same arrays and come
+# back as broadcast joins.
+# ---------------------------------------------------------------------------
+_BASKET_CAP = 32
+_MIN_PAIR_ORDERS = 2  # singleton co-occurrences are noise, not rules
+_BASKET_CACHE: dict = {}
+
+
+@query(
+    "orders_market_basket",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    sized AS (
+      SELECT okey FROM baskets GROUP BY okey
+      HAVING count(*) <= {_BASKET_CAP}
+    ),
+    b AS (SELECT baskets.* FROM baskets JOIN sized USING (okey)),
+    pairs AS (
+      SELECT b1.pkey AS p1, b2.pkey AS p2,
+             CAST(count(*) AS BIGINT) AS pair_orders
+      FROM b b1 JOIN b b2 ON b1.okey = b2.okey AND b1.pkey < b2.pkey
+      GROUP BY 1, 2
+    ),
+    freq AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n_orders FROM b GROUP BY 1),
+    tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM b)
+    SELECT p1, p2, pair_orders,
+           fa.n_orders AS p1_orders, fb.n_orders AS p2_orders,
+           CAST(pair_orders * n_baskets AS DOUBLE)
+             / CAST(fa.n_orders * fb.n_orders AS DOUBLE) AS lift
+    FROM pairs
+    JOIN freq fa ON p1 = fa.pkey
+    JOIN freq fb ON p2 = fb.pkey
+    CROSS JOIN tot
+    WHERE pair_orders >= {_MIN_PAIR_ORDERS}
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-pair support + lift over order baskets. lift > 1 means
+    the pair co-occurs more than independent part popularity
+    predicts. Float determinism: the only double op is one division
+    of two exact integer products (both < 2^53), bit-equal
+    cross-engine."""
+    def build() -> DataFrame:
+        # One scan + one shuffle, materialized: pairs, part
+        # frequencies, and the basket total all consume this frame —
+        # without the persist each branch re-runs the full
+        # scan+groupBy (observed: 4 lineitem scans in the first cut's
+        # executed plan).
+        li = read_table(spark, sf_dir, "lineitem")
+        return materialize(
+            li.select(
+                F.col("l_orderkey").alias("okey"),
+                F.col("l_partkey").alias("pkey"),
+            )
+            .groupBy("okey")
+            .agg(F.sort_array(F.collect_set("pkey")).alias("parts"))
+            .filter(F.size("parts") <= _BASKET_CAP)
+        )
+
+    baskets = session_cached(_BASKET_CACHE, spark, sf_dir, build)
+    # C(k,2) ordered pairs from the sorted distinct array, map-side:
+    # slice is 1-based, so element i (0-based) pairs with everything
+    # from position i+2 on — ascending order gives p1 < p2 for free.
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    pair_counts = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).alias("pair_orders")
+    ).filter(F.col("pair_orders") >= _MIN_PAIR_ORDERS)
+    freq = (
+        baskets.select(F.explode("parts").alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    fa = F.broadcast(
+        freq.select(F.col("pkey").alias("p1"), F.col("n_orders").alias("p1_orders"))
+    )
+    fb = F.broadcast(
+        freq.select(F.col("pkey").alias("p2"), F.col("n_orders").alias("p2_orders"))
+    )
+    return (
+        pair_counts.join(fa, "p1")
+        .join(fb, "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "pair_orders",
+            "p1_orders",
+            "p2_orders",
+            (
+                (F.col("pair_orders") * F.col("n_baskets")).cast("double")
+                / (F.col("p1_orders") * F.col("p2_orders")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multi-level aggregation: ROLLUP over (priority, status) — subtotal
 # and grand-total rows in one pass (grouping sets), the operator
 # class a reporting layer otherwise emulates with N separate scans.

@@ -551,6 +551,83 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-flattened source mixing — the multilingual-sampling
+# rebalance (kept docs per source ∝ n_src^α, α < 1 flattens the
+# head; the exponentiated-count schedule of the XLM-R / mBERT data
+# mixers). α = 0.5 deliberately: sqrt is the one fractional power
+# that is IEEE-exact in both engines (pow/exp/ln are libm calls whose
+# low bits differ — see module docstring), so the keep-rate doubles
+# hash-match cross-engine with no rounding escape hatch. The rate is
+# anchored at the SMALLEST language (keep_rate = sqrt(n_min /
+# n_lang), ≤ 1 everywhere) so flattening is pure downsampling — no
+# replication. The stratum is ``lang``, the canonical multilingual
+# axis and the one with real skew in the fixture (en ≈ 40%, others
+# ≈ 15% each — the ``source`` strata are exactly uniform, which
+# would make the rate 1.0 everywhere and the operator a no-op).
+# Same deterministic md5-threshold gate as sample_stratified: map-only,
+# rerun/backfill-stable, decorrelated from other samplers by salt.
+# Scale: one map-side-combined count on |langs| keys, two broadcast
+# joins (per-lang counts + the one-row minimum), then a map-only
+# filter riding the scan — no data-sized shuffle at any size.
+# ---------------------------------------------------------------------------
+_TEMP_SALT = "temp-v1"
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+      FROM documents GROUP BY lang
+    ),
+    mn AS (SELECT CAST(min(n_lang) AS DOUBLE) AS n_min FROM counts),
+    rated AS (
+      SELECT d.doc_id, d.lang,
+             sqrt(n_min / CAST(n_lang AS DOUBLE)) AS keep_rate,
+             CAST(('0x' || substr(md5('{_TEMP_SALT}-' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents d JOIN counts USING (lang) CROSS JOIN mn
+    )
+    SELECT doc_id, lang, keep_rate
+    FROM rated
+    WHERE h < keep_rate * {_H60_MAX}
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature sampling: survivors per language ∝
+    sqrt(n_lang), anchored so the smallest language keeps everything."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    mn = counts.agg(F.min("n_lang").cast("double").alias("n_min"))
+    rated = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+    )
+    keep_rate = F.sqrt(F.col("n_min") / F.col("n_lang").cast("double"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_TEMP_SALT + "-"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        rated.select(
+            "doc_id", "lang", keep_rate.alias("keep_rate"), h.alias("h")
+        )
+        .filter(F.col("h") < F.col("keep_rate") * F.lit(_H60_MAX))
+        .select("doc_id", "lang", "keep_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing — assign each doc its slice of the concatenated
 # per-source token stream (docs concatenated in doc_id order, split
 # into SEQ_LEN-token training sequences). The chunk a doc STARTS in

@@ -93,6 +93,12 @@ INVARIANCE_SET = [
     # and every leg re-scores exactly)
     "dedup_lsh_recall",
     "sim_recall_audit",
+    # r5 additions: the md5-threshold temperature gate and the
+    # array-expanded pair counts are data properties — neither may
+    # depend on how collect_set ordered its input or how many
+    # shuffle partitions the counts crossed
+    "sample_temperature_mix",
+    "orders_market_basket",
 ]
 
 

@@ -39,6 +39,9 @@ DOC_QUERIES = [
     "dedup_edit_distance",
     "dedup_minhash_lsh",
     "dedup_lsh_recall",
+    # r5: lang-keyed sqrt-temperature sampler — the lang column here
+    # is the planted corpus's script tags, a real multilingual mix
+    "sample_temperature_mix",
 ]
 
 _DOCS = [

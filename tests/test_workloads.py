@@ -255,3 +255,70 @@ def test_daily_gapfill_emits_zero_rows_for_silent_days(spark, tmp_path_factory):
         assert out[silent]["sum_value"] == 0.0
     assert out[1]["n_events"] == 1 and out[1]["sum_value"] == 2.5
     assert out[5]["sum_value"] == 4.0
+
+
+def test_temperature_mix_rates_and_anchor(spark, sf_small):
+    """keep_rate must be exactly sqrt(n_min / n_lang), the smallest
+    language keeps every doc (rate 1.0), and realized keeps sit
+    within binomial noise of rate * n (the md5 gate is a uniform
+    60-bit draw)."""
+    import math
+
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+    from flat_file_social_media_database_engine_spark.workloads.text import (
+        sample_temperature_mix,
+    )
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in read_table(spark, sf_small, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    n_min = min(totals.values())
+    out = sample_temperature_mix(spark, sf_small).collect()
+    kept: dict[str, int] = {}
+    for r in out:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        assert r["keep_rate"] == math.sqrt(n_min / totals[r["lang"]])
+    for lang, n in totals.items():
+        rate = math.sqrt(n_min / n)
+        if rate == 1.0:
+            assert kept.get(lang) == n  # anchor lang: pure pass-through
+        else:
+            sigma = math.sqrt(n * rate * (1 - rate))
+            assert abs(kept.get(lang, 0) - n * rate) <= 5 * sigma + 1, (
+                f"{lang}: kept {kept.get(lang, 0)} of {n} at rate {rate}"
+            )
+
+
+def test_market_basket_cap_dedup_and_lift(spark, tmp_path_factory):
+    """The basket cap excludes a mega-order entirely, repeated
+    (order, part) lines count once, and lift reproduces the textbook
+    formula on a hand-checkable fixture."""
+    from flat_file_social_media_database_engine_spark.workloads.analytics import (
+        _BASKET_CAP,
+        orders_market_basket,
+    )
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 2)]  # dup line
+    rows += [(3, p) for p in range(100, 100 + _BASKET_CAP + 1)]  # over cap
+    d = tmp_path_factory.mktemp("basket")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+
+    out = orders_market_basket(spark, str(d)).collect()
+    # only (1,2) co-occurs >= 2 times; the mega-order's parts never
+    # appear (cap), order 2's duplicated part 2 counted once
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p1"], r["p2"]) == (1, 2)
+    assert r["pair_orders"] == 2 and r["p1_orders"] == 2 and r["p2_orders"] == 2
+    # lift = pair * n_baskets / (p1 * p2) = 2*2/(2*2); mega-order is
+    # not in n_baskets either
+    assert r["lift"] == 1.0
