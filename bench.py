@@ -63,6 +63,8 @@ HEADLINE = [
     # column = stream execution; warm = cached sink read, the declared shape)
     "events_stream_sessionize",  # r4: append-mode session_window with the
     # sentinel watermark-drain (state finalization on the streaming path)
+    "orders_market_basket",  # r5: capped basket pair expansion + lift
+    "sample_temperature_mix",  # r5: sqrt-temperature lang rebalance (map-only)
 ]
 
 

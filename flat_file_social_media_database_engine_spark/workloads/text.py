@@ -596,8 +596,15 @@ _TEMP_SALT = "temp-v1"
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """α=0.5 temperature sampling: survivors per language ∝
     sqrt(n_lang), anchored so the smallest language keeps everything."""
+    from ..plans.materialize import materialize
+
     docs = read_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # |langs| rows, materialized: both consumers (the rate join and
+    # the one-row min) otherwise re-run the counting scan — one fewer
+    # full pass over the lang column at corpus scale.
+    counts = materialize(
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    )
     mn = counts.agg(F.min("n_lang").cast("double").alias("n_min"))
     rated = (
         docs.select("doc_id", "lang")

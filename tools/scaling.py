@@ -84,6 +84,11 @@ SF1_SET = [
     "events_bitmap_retention",
     "pipeline_training_mix",
     "pipeline_clean_corpus",
+    # round-5 additions: pair expansion is the basket query's
+    # could-go-quadratic term (capped); the sampler is map-only but
+    # rides the full documents scan, so it gets the data-bound point.
+    "orders_market_basket",
+    "sample_temperature_mix",
 ]
 
 
