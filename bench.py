@@ -65,6 +65,7 @@ HEADLINE = [
     # sentinel watermark-drain (state finalization on the streaming path)
     "orders_market_basket",  # r5: capped basket pair expansion + lift
     "sample_temperature_mix",  # r5: sqrt-temperature lang rebalance (map-only)
+    "pipeline_pretrain_mix",  # r5 capstone: filter→dedup→temperature→budget
 ]
 
 

@@ -47,6 +47,7 @@ _VERIFY_FIRST = [
     # --- NEW round 5 (first verification) ---
     "sample_temperature_mix",  # sqrt-temperature lang rebalance
     "orders_market_basket",    # pairwise part lift, capped baskets
+    "pipeline_pretrain_mix",   # capstone: filter→dedup→temp→budget
     # --- CHANGED round 5: rank_select gained the group spine for
     # all-out-of-range cuts (operators/rankselect.py) — its two
     # consumers must re-verify under the new plan ---
@@ -100,11 +101,13 @@ _VERIFY_FIRST = [
     # chosen from the r3 band's entries that bench.py does NOT track
     # per round (the bench-tracked ones get an implicit smoke every
     # round; these five run only when the driver window reaches them).
+    # (sim_neardup_cosine was the fifth; it yielded its slot to
+    # pipeline_pretrain_mix — its exactness is pinned by pytest and
+    # it re-enters the rotation next round.)
     "events_asof_attribution",
     "events_funnel",
     "mm_payload_stats",
     "sim_topk_ivfpq",
-    "sim_neardup_cosine",
 ]
 _STABLE_TAIL = [
     # Driver-green in CORRECTNESS_r04 (50 queries) or r3, untouched

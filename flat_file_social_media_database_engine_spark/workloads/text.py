@@ -1020,6 +1020,136 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pretraining-mix capstone: quality filter → exact dedup → sqrt-
+# temperature LANGUAGE rebalance → sequence budget, one plan, report
+# per language. The composition detail that matters: the temperature
+# rates are computed over the SURVIVOR language distribution (after
+# filter + dedup), not the raw corpus — dedup removes more of the
+# over-represented head than of the tail, so raw-count rates would
+# over-downsample the head twice. Scale posture inherited per stage:
+# filter rides the scan, dedup shuffles normalized-text digests, the
+# survivor language census is a map-side-combined |langs|-key agg off
+# the materialized survivor blocks, the gate is a map-only broadcast-
+# join + md5 threshold, and one row per language reaches the report.
+# ---------------------------------------------------------------------------
+_PRETRAIN_SALT = "pretrain-v1"  # decorrelated from temp-v1 / trainmix-v1
+
+
+@query(
+    "pipeline_pretrain_mix",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, text,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_uniq
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang, text, n_tokens
+      FROM m
+      WHERE n_tokens >= {_CLEAN_MIN_TOKENS}
+        AND n_uniq / n_tokens >= {_CLEAN_MIN_UNIQ}
+    ),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id,
+             arg_min(lang, doc_id) AS lang,
+             min(n_tokens) AS n_tokens
+      FROM kept
+      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ),
+    counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+      FROM survivors GROUP BY lang
+    ),
+    mn AS (SELECT CAST(min(n_lang) AS DOUBLE) AS n_min FROM counts),
+    sampled AS (
+      SELECT s.doc_id, s.lang, s.n_tokens,
+             sqrt(n_min / CAST(n_lang AS DOUBLE)) AS keep_rate
+      FROM survivors s JOIN counts USING (lang) CROSS JOIN mn
+      WHERE CAST(('0x' || substr(md5('{_PRETRAIN_SALT}-' || CAST(s.doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < sqrt(n_min / CAST(n_lang AS DOUBLE)) * {_H60_MAX}
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT)
+               AS n_sequences,
+           min(keep_rate) AS keep_rate
+    FROM sampled
+    GROUP BY lang
+    """,
+)
+def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality floor → keep-first exact dedup → α=0.5 temperature
+    rebalance over the survivor language census → SEQ_LEN sequence
+    budget, reported per language. Stage semantics reuse the
+    standalone operators' exact rules (same floors, same normalized-
+    text grouping, same sqrt rate and md5 gate family), so the
+    composed oracle is the composed SQL of the pieces."""
+    from ..plans.materialize import materialize
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+    )
+    kept = m.filter(
+        (F.col("n_tokens") >= _CLEAN_MIN_TOKENS)
+        & (F.col("n_uniq") / F.col("n_tokens") >= _CLEAN_MIN_UNIQ)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # materialized: the language census AND the gated stream both
+    # consume the survivor set — without the persist the full
+    # filter+dedup lineage runs twice.
+    survivors = materialize(
+        kept.groupBy(norm.alias("__norm"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .drop("__norm")
+    )
+    counts = materialize(
+        survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    )
+    mn = counts.agg(F.min("n_lang").cast("double").alias("n_min"))
+    rated = survivors.join(F.broadcast(counts), "lang").crossJoin(
+        F.broadcast(mn)
+    )
+    keep_rate = F.sqrt(F.col("n_min") / F.col("n_lang").cast("double"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_PRETRAIN_SALT + "-"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = rated.withColumn("keep_rate", keep_rate).filter(
+        h < keep_rate * F.lit(_H60_MAX)
+    )
+    total = F.sum("n_tokens")
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.cast("bigint").alias("total_tokens"),
+        F.floor((total + SEQ_LEN - 1) / SEQ_LEN).cast("bigint").alias(
+            "n_sequences"
+        ),
+        F.min("keep_rate").alias("keep_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top-k retrieval: rank documents against a fixed query-term
 # set. The reference has no search operator (every buzzdb_lab1.cpp
 # query is a key/equality probe); this is the relevance-scoring shape

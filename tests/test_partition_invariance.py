@@ -99,6 +99,7 @@ INVARIANCE_SET = [
     # shuffle partitions the counts crossed
     "sample_temperature_mix",
     "orders_market_basket",
+    "pipeline_pretrain_mix",
 ]
 
 

@@ -322,3 +322,33 @@ def test_market_basket_cap_dedup_and_lift(spark, tmp_path_factory):
     # lift = pair * n_baskets / (p1 * p2) = 2*2/(2*2); mega-order is
     # not in n_baskets either
     assert r["lift"] == 1.0
+
+
+def test_pretrain_mix_rates_from_survivor_census(spark, sf_small):
+    """keep_rate must be sqrt(n_min / n_lang) over the SURVIVOR
+    distribution (post filter+dedup), not the raw corpus, with the
+    smallest surviving language at exactly 1.0; the sequence budget
+    is ceil-division of the kept token total."""
+    import math
+
+    from flat_file_social_media_database_engine_spark.workloads.text import (
+        SEQ_LEN,
+        pipeline_pretrain_mix,
+    )
+
+    rows = pipeline_pretrain_mix(spark, sf_small).collect()
+    assert rows, "pretrain mix report is empty"
+    rates = {r["lang"]: r["keep_rate"] for r in rows}
+    assert max(rates.values()) == 1.0  # anchor language survives whole
+    # rates must all be sqrt(n_min/n) for a single integer census:
+    # invert each rate to the implied census count and check
+    # integrality and a shared minimum
+    implied = {
+        lang: (1.0 / rate) ** 2 for lang, rate in rates.items() if rate > 0
+    }
+    n_min_implied = min(implied.values())
+    assert math.isclose(n_min_implied, 1.0, rel_tol=1e-9)
+    for r in rows:
+        assert 0 < r["keep_rate"] <= 1.0
+        assert r["n_sequences"] == -(-r["total_tokens"] // SEQ_LEN)
+        assert r["n_docs"] >= 1

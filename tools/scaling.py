@@ -89,6 +89,7 @@ SF1_SET = [
     # rides the full documents scan, so it gets the data-bound point.
     "orders_market_basket",
     "sample_temperature_mix",
+    "pipeline_pretrain_mix",
 ]
 
 
