@@ -53,6 +53,8 @@ _VERIFY_FIRST = [
     # consumers must re-verify under the new plan ---
     "orders_rfm_segments",
     "events_value_percentiles",
+    # --- CHANGED round 5: s7 gained an ORC fourth slice ---
+    "s7_multiformat_union",
     # --- STALENESS ROTATION: the 41 queries whose last driver-green
     # row is round 2 (every other query is r3/r4-green). Order within
     # the band is immaterial; grouped by module for readability. ---
@@ -101,13 +103,13 @@ _VERIFY_FIRST = [
     # chosen from the r3 band's entries that bench.py does NOT track
     # per round (the bench-tracked ones get an implicit smoke every
     # round; these five run only when the driver window reaches them).
-    # (sim_neardup_cosine was the fifth; it yielded its slot to
-    # pipeline_pretrain_mix — its exactness is pinned by pytest and
-    # it re-enters the rotation next round.)
+    # (sim_neardup_cosine and sim_topk_ivfpq yielded their slots to
+    # pipeline_pretrain_mix and the changed s7 — both are pytest-
+    # pinned, their plan families stay in-window via sim_topk_ivf,
+    # and they re-enter the rotation next round.)
     "events_asof_attribution",
     "events_funnel",
     "mm_payload_stats",
-    "sim_topk_ivfpq",
 ]
 _STABLE_TAIL = [
     # Driver-green in CORRECTNESS_r04 (50 queries) or r3, untouched
@@ -117,7 +119,6 @@ _STABLE_TAIL = [
     # snapshot suite, the 17 first-verifications) lives here now.
     "o3_window_suite",
     "m5_snapshot_diff",
-    "s7_multiformat_union",
     "a2_orders_cube",
     "events_anomaly_zscore",
     "sample_train_split",

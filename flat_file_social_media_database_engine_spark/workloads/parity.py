@@ -838,8 +838,9 @@ def a5_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s7_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slice events by event_id % 3 → {parquet, CSV, JSONL}; read each
-    slice back through its format's loader; union; aggregate.
+    """Slice events by event_id % 4 → {parquet, CSV, JSONL, ORC};
+    read each slice back through its format's loader; union;
+    aggregate.
 
     Transport notes (the lossless-encoding decisions a federation
     layer owes its formats): ``props`` is JSON-with-commas, and the
@@ -847,8 +848,11 @@ def s7_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice carries props base64-encoded — the standard opaque-column
     treatment for delimiter-unsafe payloads; ``ts`` rides as a
     formatted µs string and casts back. JSONL needs neither (its
-    writer escapes natively). The aggregate spans all three slices,
-    so any fidelity loss in any loader breaks the differential hash.
+    writer escapes natively), and ORC — columnar like parquet — is
+    lossless for every column type here, so its slice is a plain
+    write/read round-trip through Spark's built-in reader. The
+    aggregate spans all four slices, so any fidelity loss in any
+    loader breaks the differential hash.
 
     Scale: each slice is one scan + one write + one scan (the
     round-trip is the point of the entry, not a hot path); the final
@@ -871,7 +875,7 @@ def s7_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="s7_fed_")
-    mod = F.col("event_id") % 3
+    mod = F.col("event_id") % 4
 
     pq_slice = events.filter(mod == 0)
 
@@ -920,7 +924,18 @@ def s7_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_jsonl(jsonl_slice_src, jsonl_path)
     jsonl_slice = read_jsonl(spark, jsonl_path, schema=jsonl_slice_src.schema)
 
-    federated = pq_slice.unionByName(csv_slice).unionByName(jsonl_slice)
+    # --- ORC slice: columnar, type-complete for this schema — a
+    #     plain round-trip through the built-in reader (schema pinned
+    #     rather than inferred, same discipline as the other slices).
+    orc_path = f"{tmp}/events_orc"
+    events.filter(mod == 3).write.mode("overwrite").orc(orc_path)
+    orc_slice = spark.read.schema(events.schema).orc(orc_path)
+
+    federated = (
+        pq_slice.unionByName(csv_slice)
+        .unionByName(jsonl_slice)
+        .unionByName(orc_slice)
+    )
     return federated.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
