@@ -3,9 +3,11 @@
 under a wall ceiling and bounded memory, asserted as a test, not a
 benchmark note).
 
-A fresh subprocess runs the two heaviest headline queries
+A fresh subprocess runs the three heaviest headline queries
 (sim_neardup_lsh — LSH-bucketed self-join over signatures;
-dedup_clusters — iterative checkpointed connected components) on a
+dedup_clusters — iterative checkpointed connected components;
+orders_market_basket — data-sized basket shuffle + DISK_ONLY
+materialize + map-side pair expansion, the round-5 addition) on a
 JVM deliberately capped far below the dev default (1g driver heap vs
 128g on the bench host, local mode so driver == executors). The
 assertion is completion: under a bounded heap Spark must SPILL
@@ -48,7 +50,7 @@ from flat_file_social_media_database_engine_spark.workloads import (
 )
 
 load_all()
-for name in ("sim_neardup_lsh", "dedup_clusters"):
+for name in ("sim_neardup_lsh", "dedup_clusters", "orders_market_basket"):
     QUERIES[name](spark, {sf_dir!r}).write.format("noop").mode(
         "overwrite"
     ).save()
@@ -77,6 +79,6 @@ def test_heavy_queries_complete_under_1g_heap():
         f"constrained-memory run failed (rc={proc.returncode}):\n"
         f"{proc.stderr[-4000:]}"
     )
-    assert proc.stdout.count("GUARDRAIL_OK") == 2, proc.stdout
+    assert proc.stdout.count("GUARDRAIL_OK") == 3, proc.stdout
     assert "OutOfMemoryError" not in proc.stderr
     assert wall < WALL_CEILING_S
