@@ -29,7 +29,15 @@ part/supp FKs, so per-part density grows 10x — the realistic shape.
 Everything is seeded/arithmetic — rerunning produces byte-identical
 tables. Output: $SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1).
 
-Usage: python tools/make_sf1.py
+Round 5: generalized to any replica count so the audit can measure a
+SECOND data-bound decade — ``python tools/make_sf1.py 100
+/tmp/spark_graft_sf10`` builds an sf10 tier (60M lineitem / 10M
+events / 500k docs / 200k vectors). The decorrelation constructions
+hold for any k (per-replica token tags stay pairwise-disjoint,
+per-replica Gaussian seeds stay distinct), and the key offsets leave
+int64 headroom past 1000 replicas.
+
+Usage: python tools/make_sf1.py [replicas] [out_dir]
 """
 
 from __future__ import annotations
@@ -45,6 +53,10 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 REPLICAS = 10
+if len(sys.argv) > 1:
+    REPLICAS = int(sys.argv[1])
+if len(sys.argv) > 2:
+    OUT = sys.argv[2]
 # key offsets: far above any sf0.1 key, stable across reruns
 C_OFF = 10_000_000  # custkey (customer, orders, events.user_id)
 O_OFF = 100_000_000  # orderkey (orders, lineitem)
@@ -61,10 +73,19 @@ def _copy(con, table: str) -> None:
 
 
 def _replicate(con, table: str, select_k: str) -> None:
-    """UNION ALL of ``select_k`` for k in 0..REPLICAS-1 (k available
-    as a macro substitution)."""
+    """UNION ALL of ``select_k`` for k in 0..REPLICAS-1. Key offsets
+    are precomputed in Python ({ck}/{ok}/{ek}/{dk} = k * *_OFF): an
+    inline ``{k} * 100000000`` is typed INT32 by DuckDB and overflows
+    at k = 22 — found the first time a 100-replica tier was built."""
     parts = " UNION ALL ".join(
-        select_k.format(k=k) for k in range(REPLICAS)
+        select_k.format(
+            k=k,
+            ck=k * C_OFF,
+            ok=k * O_OFF,
+            ek=k * E_OFF,
+            dk=k * D_OFF,
+        )
+        for k in range(REPLICAS)
     )
     con.execute(
         f"COPY ({parts}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)"
@@ -81,22 +102,22 @@ def main() -> int:
     _replicate(
         con,
         "customer",
-        f"SELECT c_custkey + {{k}} * {C_OFF} AS c_custkey, c_name,"
+        f"SELECT c_custkey + {{ck}} AS c_custkey, c_name,"
         f" c_nationkey, c_acctbal, c_mktsegment"
         f" FROM read_parquet('{SRC}/customer.parquet')",
     )
     _replicate(
         con,
         "orders",
-        f"SELECT o_orderkey + {{k}} * {O_OFF} AS o_orderkey,"
-        f" o_custkey + {{k}} * {C_OFF} AS o_custkey, o_orderstatus,"
+        f"SELECT o_orderkey + {{ok}} AS o_orderkey,"
+        f" o_custkey + {{ck}} AS o_custkey, o_orderstatus,"
         f" o_totalprice, o_orderdate, o_orderpriority"
         f" FROM read_parquet('{SRC}/orders.parquet')",
     )
     _replicate(
         con,
         "lineitem",
-        f"SELECT l_orderkey + {{k}} * {O_OFF} AS l_orderkey, l_partkey,"
+        f"SELECT l_orderkey + {{ok}} AS l_orderkey, l_partkey,"
         f" l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
         f" l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
         f" FROM read_parquet('{SRC}/lineitem.parquet')",
@@ -106,9 +127,9 @@ def main() -> int:
     _replicate(
         con,
         "events",
-        f"SELECT event_id + {{k}} * {E_OFF} AS event_id,"
+        f"SELECT event_id + {{ek}} AS event_id,"
         f" ts + INTERVAL ({{k}}) SECOND AS ts,"
-        f" user_id + {{k}} * {C_OFF} AS user_id,"
+        f" user_id + {{ck}} AS user_id,"
         f" event_type, value, props"
         f" FROM read_parquet('{SRC}/events.parquet')",
     )
@@ -124,7 +145,7 @@ def main() -> int:
     _replicate(
         con,
         "documents",
-        f"SELECT doc_id + {{k}} * {D_OFF} AS doc_id,"
+        f"SELECT doc_id + {{dk}} AS doc_id,"
         f" CASE WHEN {{k}} = 0 THEN text ELSE list_aggregate("
         f"   list_transform(string_split(text, ' '), (w, i) ->"
         f"     CASE WHEN i % 2 = 0 THEN 'r{{k}}' || w ELSE w END),"

@@ -43,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
 DATA_RATIO = 10.0  # fact-table rows per step (embeddings: 10x at sf1)
 REVIEW_RATIO = 3.0
 
@@ -87,6 +88,29 @@ SF1_SET = [
     # round-5 additions: pair expansion is the basket query's
     # could-go-quadratic term (capped); the sampler is map-only but
     # rides the full documents scan, so it gets the data-bound point.
+    "orders_market_basket",
+    "sample_temperature_mix",
+    "pipeline_pretrain_mix",
+]
+
+# Decade 2 (sf1 -> sf10, tools/make_sf1.py 100 replicas: 60M lineitem
+# / 10M events / 500k docs / 200k vectors): the queries worth a
+# SECOND data-bound measurement — each already left the overhead
+# floor on the sf0.1 -> sf1 step, so this decade's ratio is pure
+# algorithm, no fixed-cost excuse. Must be a subset of SF1_SET (the
+# ratio needs the sf1 wall). min-of-2 at this tier (each pass is tens
+# of seconds; two decorrelated passes bound the neighbor noise the
+# same way bench.py's min-of-2 does).
+SF10_SET = [
+    "q_pricing_summary",
+    "o1_multikey_sort",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_span_exact",
+    "sim_topk_lsh",
+    "sim_neardup_lsh",
     "orders_market_basket",
     "sample_temperature_mix",
     "pipeline_pretrain_mix",
@@ -228,6 +252,20 @@ def main() -> int:
                 best = min(best, time.time() - t0)
             times[n][sf] = best
 
+    have_sf10 = have_sf1 and os.path.isdir(SF10_DIR)
+    if have_sf10:
+        for n in names:
+            if n not in SF10_SET:
+                continue
+            best = float("inf")
+            for _ in range(2):  # min-of-2 at the big tier (see SF10_SET)
+                t0 = time.time()
+                qs[n](spark, SF10_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            times[n]["10"] = best
+
     lines = [
         "# SCALING — per-query wall growth across fixture scales",
         "",
@@ -280,13 +318,47 @@ def main() -> int:
             f" {r1:.1f}x | {f'{r2:.1f}x' if r2 is not None else '-'} "
             f"| {r_last / DATA_RATIO:.2f} | {verdict} |"
         )
+    if have_sf10:
+        lines += [
+            "",
+            "## Decade 2: sf1 -> sf10 (60M lineitem / 10M events / "
+            "500k docs / 200k vectors)",
+            "",
+            "Second data-bound decade (`tools/make_sf1.py 100 "
+            f"{SF10_DIR}`), min-of-2 per query. Every query here "
+            "already left the overhead floor on the sf0.1 -> sf1 "
+            "step, so this ratio is pure algorithm — no fixed-cost "
+            "excuse. Same bands.",
+            "",
+            "| query | sf1 s | sf10 s | r(1->10) | cost/row | verdict |",
+            "|---|---|---|---|---|---|",
+        ]
+        for n in names:
+            if "10" not in times[n]:
+                continue
+            d1, d10 = times[n].get("1"), times[n]["10"]
+            if d1 is None:
+                continue
+            r = d10 / d1 if d1 > 0 else float("inf")
+            verdict = _verdict(r, d10)
+            if verdict == "SUPER-LINEAR" and n not in flagged:
+                flagged.append(n)
+            elif verdict == "REVIEW" and n not in review:
+                review.append(n)
+            lines.append(
+                f"| {n} | {d1:.2f} | {d10:.2f} | {r:.1f}x "
+                f"| {r / DATA_RATIO:.2f} | {verdict} |"
+            )
+
+    # summary AFTER decade 2 so its escalations are included
     lines += [
         "",
         f"Flagged SUPER-LINEAR: {flagged if flagged else 'none'}",
-        f"REVIEW (3-10x on last measured step): {review if review else 'none'}",
+        f"REVIEW (3-10x on a data-bound step): {review if review else 'none'}",
         f"noise-floor (3-10x but sub-1s walls — jitter, not evidence): "
         f"{floored if floored else 'none'}",
     ]
+
     noted = [n for n in flagged + review if n in REVIEW_NOTES]
     unexplained = [n for n in flagged + review if n not in REVIEW_NOTES]
     if noted:
