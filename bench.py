@@ -66,6 +66,7 @@ HEADLINE = [
     "orders_market_basket",  # r5: capped basket pair expansion + lift
     "sample_temperature_mix",  # r5: sqrt-temperature lang rebalance (map-only)
     "pipeline_pretrain_mix",  # r5 capstone: filter→dedup→temperature→budget
+    "dedup_simhash_pairs",  # r5: banded Hamming near-dup (Manku WWW'07)
 ]
 
 

@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "sample_temperature_mix",  # sqrt-temperature lang rebalance
     "orders_market_basket",    # pairwise part lift, capped baskets
     "pipeline_pretrain_mix",   # capstone: filter→dedup→temp→budget
+    "dedup_simhash_pairs",     # Manku-style banded Hamming near-dup
     # --- CHANGED round 5: rank_select gained the group spine for
     # all-out-of-range cuts (operators/rankselect.py) — its two
     # consumers must re-verify under the new plan ---
@@ -103,13 +104,13 @@ _VERIFY_FIRST = [
     # chosen from the r3 band's entries that bench.py does NOT track
     # per round (the bench-tracked ones get an implicit smoke every
     # round; these five run only when the driver window reaches them).
-    # (sim_neardup_cosine and sim_topk_ivfpq yielded their slots to
-    # pipeline_pretrain_mix and the changed s7 — both are pytest-
-    # pinned, their plan families stay in-window via sim_topk_ivf,
-    # and they re-enter the rotation next round.)
+    # (sim_neardup_cosine, sim_topk_ivfpq and mm_payload_stats yielded
+    # their slots to pipeline_pretrain_mix, the changed s7, and
+    # dedup_simhash_pairs — all three are pytest-pinned, their plan
+    # families stay in-window via sim_topk_ivf / mm entries covered
+    # by bench, and they re-enter the rotation next round.)
     "events_asof_attribution",
     "events_funnel",
-    "mm_payload_stats",
 ]
 _STABLE_TAIL = [
     # Driver-green in CORRECTNESS_r04 (50 queries) or r3, untouched

@@ -933,32 +933,31 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 60
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
+def _simhash_cte() -> str:
+    """The signature construction as DuckDB CTEs (``sig(doc_id,
+    simhash)``) — shared verbatim by the fingerprint oracle and the
+    Hamming-pairs oracle so the two can never drift."""
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hv,"
+        f" h -> 2 * ((h >> {b}) & 1) - 1)) >= 0"
+        f" THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""tok AS (
       SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
     ),
     hs AS (
       SELECT doc_id,
              list_transform(toks, t -> {_h60_sql('t')}) AS hv
       FROM tok
-    )
-    SELECT doc_id,
-           CAST({" + ".join(
-               f"(CASE WHEN list_sum(list_transform(hv,"
-               f" h -> 2 * ((h >> {b}) & 1) - 1)) >= 0"
-               f" THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
-               for b in range(_SIMHASH_BITS)
-           )} AS BIGINT) AS simhash
-    FROM hs
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash. The whole signature is array expressions over
-    one row — zero shuffles; at 100 TB this is a pure map stage (and
-    the natural pre-filter in front of exact-Jaccard verification)."""
-    docs = read_table(spark, sf_dir, "documents")
+    ),
+    sig AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hs
+    )"""
+
+
+def _simhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the Spark twin of ``_simhash_cte``."""
     hv = F.transform(_tokens(), _h60)
 
     def _bit_sum(b: int):
@@ -978,6 +977,119 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", hv.alias("hv")).select(
         "doc_id", out.alias("simhash")
     )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_cte()}
+    SELECT doc_id, simhash FROM sig
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash. The whole signature is array expressions over
+    one row — zero shuffles; at 100 TB this is a pure map stage (and
+    the natural pre-filter in front of exact-Jaccard verification)."""
+    return _simhash_frame(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS — the fingerprint turned into a dedup
+# operator (Manku, Jain & Das Sarma, WWW 2007: Google's web-crawl
+# near-dup detection). Pigeonhole candidate generation: split the
+# 60-bit signature into 4 bands of 15 bits — any pair within Hamming
+# distance 3 must agree EXACTLY on at least one band, so candidates
+# are self-joins within (band, band-value) buckets, never all-pairs.
+# The shared HOT_BUCKET_CAP bounds any band bucket allowed into the
+# join (same posture and same constant as both LSH fronts; over-cap
+# buckets are degenerate collisions — exact dupes caught upstream).
+# Verification is exact: bit_count(xor) <= 3, one integer op per
+# candidate. Scale: one map-only signature pass, a 4x band explode,
+# one shuffle on 8-byte (band, value) keys, broadcast cap anti-
+# filter — candidate volume is linear in docs for a dispersed corpus.
+# ---------------------------------------------------------------------------
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 15
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+_SIMHASH_HAM_MAX = _SIMHASH_BANDS - 1  # pigeonhole guarantee
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_cte()},
+    bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> ({_SIMHASH_BAND_BITS} * band))
+               & {_SIMHASH_BAND_MASK} AS bkey
+      FROM sig, (SELECT unnest(range({_SIMHASH_BANDS})) AS band)
+    ),
+    ok_buckets AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING count(*) BETWEEN 2 AND {HOT_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS s_a, b.simhash AS s_b
+      FROM bands a
+      JOIN ok_buckets c ON a.band = c.band AND a.bkey = c.bkey
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s_a, s_b)) <= {_SIMHASH_HAM_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= 3 over the 60-bit
+    SimHash — banded candidates, exact xor/popcount verify."""
+    sig = materialize(
+        _simhash_frame(read_table(spark, sf_dir, "documents"))
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array([F.lit(i) for i in range(_SIMHASH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            f"shiftright(simhash, {_SIMHASH_BAND_BITS} * band)"
+            f" & {_SIMHASH_BAND_MASK}"
+        ),
+    )
+    ok_buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= HOT_BUCKET_CAP))
+        .select("band", "bkey")
+    )
+    left = bands.join(F.broadcast(ok_buckets), ["band", "bkey"])
+    right = bands.select(
+        "band",
+        "bkey",
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("s_b"),
+    )
+    cand = (
+        left.select(
+            "band",
+            "bkey",
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("s_a"),
+        )
+        .join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "s_a", "s_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(s_a ^ s_b)").cast("bigint")
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= _SIMHASH_HAM_MAX
+    ).select("doc_a", "doc_b", "hamming")
 
 
 # ---------------------------------------------------------------------------

@@ -625,3 +625,47 @@ def test_lsh_recall_audit_planted_deciles(spark, tmp_path_factory):
         assert r["recall"] == pytest.approx(r["n_caught"] / r["n_true"])
         if b >= 9:  # near-exact pairs: banding cannot miss these
             assert r["recall"] == 1.0
+
+
+def test_simhash_pairs_planted_neardup(spark, tmp_path_factory):
+    """Differential against a Python model: the pairs query must
+    return EXACTLY the doc pairs whose signatures (from the
+    fingerprint query, itself oracle-checked) are within Hamming 3 —
+    the pigeonhole banding guarantees no such pair can be missed, and
+    the planted exact dup must collide at distance 0."""
+    base = ("spark shuffle partition broadcast join aggregate scan "
+            "filter window sort merge hash column row batch ") * 6
+    edited = base.replace("window", "session")  # every occurrence
+    rows = [
+        (1, base, "en", "a", len(base)),
+        (2, base, "en", "b", len(base)),          # exact dup of 1
+        (3, edited, "en", "a", len(edited)),       # token-swapped twin
+        (4, "completely different tiny text about nothing shared "
+            "zebra quark lantern violet harbor " * 4, "en", "c", 100),
+    ]
+    d = tmp_path_factory.mktemp("simhash")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    from flat_file_social_media_database_engine_spark.workloads.dedup import (
+        _SIMHASH_HAM_MAX,
+        dedup_simhash,
+        dedup_simhash_pairs,
+    )
+
+    sig = {r["doc_id"]: r["simhash"]
+           for r in dedup_simhash(spark, str(d)).collect()}
+    expected = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= _SIMHASH_HAM_MAX:
+                expected[(a, b)] = h
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup_simhash_pairs(spark, str(d)).collect()}
+    assert got == expected
+    assert got.get((1, 2)) == 0          # the planted exact dup
+    assert not any(4 in p for p in got)  # the unrelated doc

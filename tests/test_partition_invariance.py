@@ -100,6 +100,7 @@ INVARIANCE_SET = [
     "sample_temperature_mix",
     "orders_market_basket",
     "pipeline_pretrain_mix",
+    "dedup_simhash_pairs",
 ]
 
 

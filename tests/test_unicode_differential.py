@@ -42,6 +42,9 @@ DOC_QUERIES = [
     # r5: lang-keyed sqrt-temperature sampler — the lang column here
     # is the planted corpus's script tags, a real multilingual mix
     "sample_temperature_mix",
+    # r5: banded Hamming near-dup — the planted exact-dup pair must
+    # collide at distance 0 whatever the script
+    "dedup_simhash_pairs",
 ]
 
 _DOCS = [

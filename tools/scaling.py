@@ -91,6 +91,7 @@ SF1_SET = [
     "orders_market_basket",
     "sample_temperature_mix",
     "pipeline_pretrain_mix",
+    "dedup_simhash_pairs",
 ]
 
 # Decade 2 (sf1 -> sf10, tools/make_sf1.py 100 replicas: 60M lineitem
