@@ -957,7 +957,16 @@ def _simhash_cte() -> str:
 
 
 def _simhash_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — the Spark twin of ``_simhash_cte``."""
+    """(doc_id, simhash) — the Spark twin of ``_simhash_cte``.
+
+    Formulation A/B (negative result, sf0.1 min-of-3): collapsing the
+    60 per-bit ``aggregate`` traversals into ONE pass with a 60-wide
+    array accumulator (``aggregate(hv, array_repeat(0L, 60), (acc, h)
+    -> transform(acc, (a, i) -> ...))``) measured 1.68s vs 1.56s for
+    this form — higher-order-function lambdas run interpreted either
+    way, so one traversal with nested lambdas costs the same as 60
+    flat ones, and this form stays structurally parallel to the
+    oracle CTE. Values verified identical (0 mismatches)."""
     hv = F.transform(_tokens(), _h60)
 
     def _bit_sum(b: int):
