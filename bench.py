@@ -150,9 +150,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
-        "n_queries": len(per_query),  # headline grew r1→…→r4
-        # (9→16→38→40); compare per-query times across rounds, not
-        # the total alone.
+        "n_queries": len(per_query),  # headline grew r1→…→r5
+        # (9→16→38→40→44); compare per-query times across rounds,
+        # not the total alone.
         # Shared session passes (shingles, span grams, LSH signatures,
         # k-means quantizer, dequantize table) build during pass 1 and
         # serve pass 2 from cache, so per-query minima measure the
