@@ -115,6 +115,7 @@ SF10_SET = [
     "orders_market_basket",
     "sample_temperature_mix",
     "pipeline_pretrain_mix",
+    "dedup_simhash_pairs",  # flat through both decades (plan-bound)
 ]
 
 
