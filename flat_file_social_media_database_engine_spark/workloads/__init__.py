@@ -177,8 +177,25 @@ def load_all() -> None:
     from . import eventflow  # noqa: F401
     from . import multimodal  # noqa: F401
 
-    head = [n for n in _VERIFY_FIRST if n in QUERIES]
-    tail = [n for n in _STABLE_TAIL if n in QUERIES]
+    # A typo'd name must fail LOUDLY: silently filtering it out would
+    # shrink the driver's 50-query verification window — exactly the
+    # coverage-lie class the round-2 verdict flagged. Same for a name
+    # listed twice or placed in both lists (the dict rebuild would
+    # dedup it silently and shift every later slot).
+    unknown = [
+        n for n in [*_VERIFY_FIRST, *_STABLE_TAIL] if n not in QUERIES
+    ]
+    if unknown:
+        raise KeyError(f"registration lists name unknown queries: {unknown}")
+    dupes = [
+        n
+        for n in {*_VERIFY_FIRST, *_STABLE_TAIL}
+        if _VERIFY_FIRST.count(n) + _STABLE_TAIL.count(n) > 1
+    ]
+    if dupes:
+        raise KeyError(f"queries listed more than once: {sorted(dupes)}")
+    head = list(_VERIFY_FIRST)
+    tail = list(_STABLE_TAIL)
     placed = set(head) | set(tail)
     mid = [n for n in QUERIES if n not in placed]
     order = head + mid + tail
