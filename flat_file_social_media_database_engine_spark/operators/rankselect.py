@@ -165,6 +165,74 @@ def grouped_rank(
     return out if group_cols else out.drop(_GRP)
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum — ``sum(value_col) OVER (PARTITION BY
+    group_cols ORDER BY order_by ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING)``, 0 for each group's first row — computed with
+    bounded windows only (the ``grouped_rank`` decomposition with the
+    per-(partition, group) COUNT pass generalized to a SUM pass):
+
+    1. range-repartition on (group_cols, order_by) — the order must
+       end in a unique tiebreak, making the composite key a total
+       order, so the running sum is well-defined and the range
+       partitioner balances hot groups across partitions;
+    2. per-(partition, group) value sums — metadata-sized;
+    3. exclusive prefix of those sums in partition order — a window
+       over ≤ ``partitions`` rows per group;
+    4. broadcast back, local exclusive running sum per (partition,
+       group) + the partition's offset.
+
+    Telescoping is exact for any boundary placement (same argument as
+    ``grouped_rank``); the stamp is materialized so the sum pass and
+    the local pass see identical boundaries. Unlike a
+    ``partitionBy(group)`` window, a group holding most of the table
+    (e.g. one dominant ``source`` at 100 TB) never becomes one
+    unsplittable sort task. Consumer: ``docs_pack_sequences``
+    (per-source token start offsets), pinned hash-identical to the
+    monolithic-window formulation in tests/test_rankselect.py."""
+    spark = df.sparkSession
+    parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    src = df if group_cols else _sentinel_group(df)
+    grp_cols = list(group_cols) or [_GRP]
+    part_keys = [F.col(c).asc() for c in grp_cols] + list(order_by)
+    stamped = materialize(
+        src.repartitionByRange(parts, *part_keys).withColumn(
+            _PID, F.spark_partition_id()
+        )
+    )
+
+    sums = stamped.groupBy(_PID, *grp_cols).agg(
+        F.sum(value_col).alias(_CNT)
+    )
+    off_w = (
+        Window.partitionBy(*grp_cols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.withColumn(
+        _OFF, F.coalesce(F.sum(_CNT).over(off_w), F.lit(0))
+    ).drop(_CNT)
+
+    joined = _nullsafe_join(stamped, offsets, [_PID], grp_cols)
+    local_w = (
+        Window.partitionBy(_PID, *grp_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = joined.withColumn(
+        out_col,
+        F.coalesce(F.sum(value_col).over(local_w), F.lit(0)) + F.col(_OFF),
+    ).drop(_PID, _OFF)
+    return out if group_cols else out.drop(_GRP)
+
+
 def rank_select(
     df: DataFrame,
     group_cols: list[str],
@@ -270,7 +338,13 @@ def rank_select(
         for name in cuts
     ]
     if not group_cols:
-        return picked.agg(F.max(F.col(total_col)).alias(total_col), *aggs)
+        # Totals from the metadata-sized offsets table, mirroring the
+        # grouped spine below: with rows present but EVERY cut outside
+        # [1, n], `picked` is empty and an agg over it would return a
+        # NULL total instead of the real n. Both aggs are one-row;
+        # the cross join is a 1×1 broadcast.
+        totals = offsets.agg(F.max(F.col(total_col)).alias(total_col))
+        return totals.crossJoin(picked.agg(*aggs))
     # One row per group present in df even when every cut for the
     # group falls outside [1, n] (then no target row survives the
     # rank filter and the group would otherwise vanish): the group

@@ -44,21 +44,86 @@ def query(name: str, oracle: str | None = None):
 #     round; these absorb the overflow past slot 50.
 # Everything else keeps its module registration order in between.
 _VERIFY_FIRST = [
-    # --- NEW round 5 (first verification) ---
-    "sample_temperature_mix",  # sqrt-temperature lang rebalance
-    "orders_market_basket",    # pairwise part lift, capped baskets
-    "pipeline_pretrain_mix",   # capstone: filter→dedup→temp→budget
-    "dedup_simhash_pairs",     # Manku-style banded Hamming near-dup
-    # --- CHANGED round 5: rank_select gained the group spine for
-    # all-out-of-range cuts (operators/rankselect.py) — its two
-    # consumers must re-verify under the new plan ---
+    # --- CHANGED round 6: the two structural rewrites from the
+    # round-5 verdict — docs_pack_sequences' prefix sum re-based on
+    # operators/rankselect.py's sharded offsets machinery, and the
+    # span family's canonical-keep re-based on a partial-aggregable
+    # per-h min(struct) instead of a per-gram-hash window. All four
+    # consumers must re-verify under the new plans. ---
+    "docs_pack_sequences",
+    "docs_strip_dup_spans",
+    "pipeline_dedup_corpus",
+    "dedup_span_exact",  # shares the gram pass; named in the verdict
+    # --- STALENESS ROTATION: the 22 queries whose last driver-green
+    # row is round 3 (everything else is r4/r5-green). Grouped by
+    # module for readability; order within the band is immaterial. ---
+    "events_pivot_daily",
+    "events_retention",
+    "events_sliding_rollup",
+    "events_sessionize",
+    "events_sessionize_twophase",
+    "events_next_transition",
+    "events_range_attribution",
+    "events_dedup_redelivery",
+    "events_heavy_hitters",
+    "events_top_paths",
+    "mm_payload_stats",
+    "mm_decode_features",
+    "mm_frame_stats",
+    "mm_resize_stats",
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    "sim_topk_pq",
+    "sim_topk_ivf_kmeans",
+    "sim_topk_ivfpq",
+    "sim_kmeans_assign",
+    "sim_dim_stats",
+    "sim_neardup_cosine",
+    # --- r4-green re-confirmations filling the window to exactly 50
+    # (24 of the 44 remaining r4 entries; the other 20 — the dedup
+    # LSH/cluster family + sim recall/embedding rows — park in the
+    # tail and lead the round-7 rotation): snapshot/mutation suite,
+    # streaming entries, and the non-bench-tracked analytics rows
+    # first, since bench gives the tracked ones an implicit per-round
+    # smoke. ---
+    "m2_validated_append",
+    "m4_delete_upsert",
+    "m5_snapshot_diff",
+    "s5_snapshot_roundtrip",
+    "s8_rollup_maintenance",
+    "o3_window_suite",
+    "a2_orders_cube",
+    "q_above_customer_avg",
+    "events_stream_ingest",
+    "events_stream_attribution",
+    "events_stream_sessionize",
+    "events_stream_clamp",
+    "events_anomaly_zscore",
+    "events_bitmap_retention",
+    "events_daily_gapfill",
+    "events_dau_rolling",
+    "events_interarrival_stats",
+    "events_session_stats",
+    "sample_train_split",
+    "text_bigram_lm_score",
+    "text_pii_scrub",
+    "text_tfidf_topk",
+    "docs_chunk_overlap",
+    "pipeline_training_mix",
+]
+_STABLE_TAIL = [
+    # Parked past slot 50: the 49 r5-green re-confirmations (fresh
+    # last round, minus docs_pack_sequences which moved to the head)
+    # followed by the 20 r4-green rows that lead the round-7
+    # rotation. Re-confirmations only — parking these loses no first
+    # verification.
+    "sample_temperature_mix",
+    "orders_market_basket",
+    "pipeline_pretrain_mix",
+    "dedup_simhash_pairs",
     "orders_rfm_segments",
     "events_value_percentiles",
-    # --- CHANGED round 5: s7 gained an ORC fourth slice ---
     "s7_multiformat_union",
-    # --- STALENESS ROTATION: the 41 queries whose last driver-green
-    # row is round 2 (every other query is r3/r4-green). Order within
-    # the band is immaterial; grouped by module for readability. ---
     "q_pricing_summary",
     "q_region_revenue",
     "q_top_revenue_orders",
@@ -95,76 +160,33 @@ _VERIFY_FIRST = [
     "text_commonness_score",
     "pipeline_clean_corpus",
     "sample_stratified",
-    "docs_pack_sequences",
     "sim_topk_ivf",
     "sim_topk_bruteforce",
     "events_json_extract",
     "events_hourly_rollup",
-    # --- r3-green re-confirmations filling the window to exactly 50:
-    # chosen from the r3 band's entries that bench.py does NOT track
-    # per round (the bench-tracked ones get an implicit smoke every
-    # round; these five run only when the driver window reaches them).
-    # (sim_neardup_cosine, sim_topk_ivfpq and mm_payload_stats yielded
-    # their slots to pipeline_pretrain_mix, the changed s7, and
-    # dedup_simhash_pairs — all three are pytest-pinned, their plan
-    # families stay in-window via sim_topk_ivf / mm entries covered
-    # by bench, and they re-enter the rotation next round.)
     "events_asof_attribution",
     "events_funnel",
-]
-_STABLE_TAIL = [
-    # Driver-green in CORRECTNESS_r04 (50 queries) or r3, untouched
-    # this round, parked past slot 50 so the staleness rotation above
-    # fits. Re-confirmations only — parking these loses no first
-    # verification. The r4 head (streaming entries, recall audits,
-    # snapshot suite, the 17 first-verifications) lives here now.
-    "o3_window_suite",
-    "m5_snapshot_diff",
-    "a2_orders_cube",
-    "events_anomaly_zscore",
-    "sample_train_split",
+    # --- r4-green, lead the round-7 rotation ---
     "dedup_containment_pairs",
     "dedup_source_stats",
     "dedup_incremental_minhash",
-    "events_bitmap_retention",
-    "events_interarrival_stats",
-    "events_session_stats",
-    "events_dau_rolling",
-    "sim_embedding_stats",
-    "sim_centroid_outliers",
     "dedup_cross_source",
-    "events_daily_gapfill",
     "dedup_minhash_lsh",
-    "sim_neardup_lsh",
-    "events_stream_attribution",
-    "events_stream_sessionize",
-    "events_stream_clamp",
-    "sim_semantic_dedup",
     "dedup_lsh_recall",
-    "sim_recall_audit",
-    "events_stream_ingest",
-    "m2_validated_append",
-    "m4_delete_upsert",
-    "s5_snapshot_roundtrip",
-    "s8_rollup_maintenance",
-    "q_above_customer_avg",
-    "text_bigram_lm_score",
-    "pipeline_training_mix",
-    "text_tfidf_topk",
-    "text_pii_scrub",
-    "docs_chunk_overlap",
-    "docs_domain_budget",
     "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "dedup_contamination",
     "dedup_clusters",
     "dedup_keep_best",
     "dedup_incremental",
-    "dedup_span_exact",
     "dedup_bloom_prefilter",
     "dedup_graph_stats",
-    "docs_strip_dup_spans",
-    "pipeline_dedup_corpus",
+    "sim_embedding_stats",
+    "sim_centroid_outliers",
+    "sim_neardup_lsh",
+    "sim_semantic_dedup",
+    "sim_recall_audit",
+    "docs_domain_budget",
 ]
 
 

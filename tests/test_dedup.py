@@ -270,6 +270,39 @@ def test_strip_dup_spans_keeps_canonical(spark, planted_dir):
         assert len(r["cleaned_text"].split(" ")) == kept or (kept == 0 and r["cleaned_text"] == "")
 
 
+def test_strip_dup_spans_hot_gram(spark, tmp_path_factory):
+    """Planted hot gram (round-5 verdict item 2): one boilerplate
+    5-token header shared by EVERY doc — the corpus-wide hottest
+    hash. The min(struct)-per-h canonical pick must keep exactly the
+    lowest (doc_id, pos) occurrence and strip the header from all
+    other docs, with each doc's unique tail untouched. (The plan-side
+    point — no per-h sort task — is held by the plan-hygiene gate;
+    this pins the semantics on the skew shape itself.)"""
+    header = "copyright acme corp all rights"  # 5 tokens = one gram
+    n = 60
+    # tail starts with a per-doc token so every gram PAST pos 1 is
+    # unique — only the header gram itself is corpus-duplicated
+    rows = [
+        (i, f"{header} t{i} body words {i} end{i}", "en", "s", 1)
+        for i in range(n)
+    ]
+    d = tmp_path_factory.mktemp("hotgram")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in D.docs_strip_dup_spans(spark, str(d)).collect()
+    }
+    assert len(out) == n
+    assert out[0]["n_removed"] == 0  # canonical occurrence spared
+    assert out[0]["cleaned_text"].startswith(header)
+    for i in range(1, n):
+        assert out[i]["n_removed"] == 5  # exactly the header gram
+        assert out[i]["cleaned_text"] == f"t{i} body words {i} end{i}"
+
+
 def _strip_model(texts, k):
     """Pure-Python model of docs_strip_dup_spans (canonical-keep)."""
     import re

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -72,15 +74,22 @@ def test_unpartitioned_spec_detector_grammar():
     )
 
 
-def test_no_query_plans_an_unpartitioned_window(spark, sf_small):
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_small):
+    """Optimized plan text for every registered query, built once —
+    both window gates below read the same dict."""
+    return {
+        name: fn(spark, sf_small)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+        for name, fn in entrymod.queries().items()
+    }
+
+
+def test_no_query_plans_an_unpartitioned_window(all_plans):
     offenders = {}
-    for name, fn in entrymod.queries().items():
-        plan = (
-            fn(spark, sf_small)
-            ._jdf.queryExecution()
-            .optimizedPlan()
-            .toString()
-        )
+    for name, plan in all_plans.items():
         hits = _unpartitioned_specs(plan)
         if hits:
             offenders[name] = hits
@@ -88,6 +97,164 @@ def test_no_query_plans_an_unpartitioned_window(spark, sf_small):
         "queries planning single-reducer windows (whole input through "
         f"one task at scale): {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Low-cardinality window gate (round-5 verdict item 4): an empty
+# partition spec is not the only one-task window. `partitionBy(k)`
+# over a DATA-SIZED input where k has a handful of values (source,
+# lang, event_type...) makes each value's whole history ONE
+# unsplittable sort task — the exact class of the round-5 findings
+# (docs_pack_sequences' per-source prefix window, the span family's
+# per-gram-hash rank). This gate flags any spec whose partition keys
+# are ALL known-low-cardinality columns, with an explicit allowlist
+# for specs whose INPUT is metadata-sized or combiner-pruned.
+# ---------------------------------------------------------------------------
+
+# Columns with O(1)-ish distinct values on these tables (grow with the
+# schema/config, never with the data): a window partitioned ONLY by
+# these cannot split a dominant value across tasks.
+_LOWCARD_COLS = {
+    "source",
+    "lang",
+    "event_type",
+    "from_type",
+    "to_type",
+    "band",
+    "split",
+    "segment",
+    "status",
+    "within_source",
+    "lang_bucket",
+    # synthetic constant group column (sim_centroid_outliers' global
+    # top-N): one value by construction — a window on it alone is a
+    # global window wearing a stored-constant disguise.
+    "_g",
+}
+
+# (query, frozenset(partition basenames)) pairs whose window input is
+# provably NOT data-sized — each entry names the bounding mechanism:
+_LOWCARD_ALLOW = {
+    # operators/topk.py batch-local top-k combiner runs BEFORE the
+    # window's shuffle: the window ranks ~k rows per key per Arrow
+    # batch, not every document/vector.
+    ("docs_domain_budget", frozenset({"source"})),
+    ("sim_centroid_outliers", frozenset({"_g"})),
+    # rankselect counts-table windows: input is partitions × groups
+    # rows (metadata-sized by construction; pinned in
+    # tests/test_rankselect.py). Most rankselect specs carry a __rs_
+    # column and are exempted structurally below; the total_col
+    # window (partitionBy(group) with no order) has no marker.
+    ("events_value_percentiles", frozenset({"event_type"})),
+    # window over the per-(from, to) transition-count aggregate —
+    # |event types|² rows.
+    ("events_next_transition", frozenset({"from_type"})),
+}
+
+
+def _spec_args(plan: str) -> list[list[str]]:
+    """Top-level argument lists of every windowspecdefinition."""
+    specs = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        s = plan[m.end():]
+        args, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    args.append("".join(cur).strip())
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                args.append("".join(cur).strip())
+                cur = []
+                continue
+            cur.append(ch)
+        specs.append([a for a in args if a])
+    return specs
+
+
+def _lowcard_specs(plan: str) -> list[frozenset[str]]:
+    hits = []
+    for args in _spec_args(plan):
+        parts = []
+        for a in args:
+            if a.startswith("specifiedwindowframe") or " ASC" in a or " DESC" in a:
+                break
+            parts.append(a)
+        if not parts:
+            continue  # unpartitioned — the other gate's job
+        if any("__rs_" in a for a in args):
+            continue  # rankselect offsets machinery: metadata-sized
+        basenames = [re.sub(r"#\d+L?\b", "", p) for p in parts]
+        if any("(" in b for b in basenames):
+            continue  # computed partition key — not a known-lowcard column
+        if all(b in _LOWCARD_COLS for b in basenames):
+            hits.append(frozenset(basenames))
+    return hits
+
+
+def test_lowcard_gate_grammar():
+    frame = (
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"
+    )
+    # per-source window over data: flagged
+    assert _lowcard_specs(
+        f"windowspecdefinition(source#7, doc_id#3L ASC NULLS FIRST, {frame})"
+    ) == [frozenset({"source"})]
+    # no-order per-type total window: flagged
+    assert _lowcard_specs(f"windowspecdefinition(event_type#9, {frame})") == [
+        frozenset({"event_type"})
+    ]
+    # high-cardinality key: clean
+    assert not _lowcard_specs(
+        f"windowspecdefinition(user_id#5L, ts#6 ASC NULLS FIRST, {frame})"
+    )
+    # mixed (lowcard, highcard): splittable by the second key — clean
+    assert not _lowcard_specs(
+        f"windowspecdefinition(source#7, user_id#5L, ts#6 ASC NULLS FIRST, {frame})"
+    )
+    # rankselect marker anywhere in the spec: exempt
+    assert not _lowcard_specs(
+        f"windowspecdefinition(source#7, __rs_pid#8 ASC NULLS FIRST, {frame})"
+    )
+
+
+def test_no_query_plans_a_lowcard_window(all_plans):
+    offenders = {}
+    for name, plan in all_plans.items():
+        hits = [
+            sorted(h)
+            for h in _lowcard_specs(plan)
+            if (name, h) not in _LOWCARD_ALLOW
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "queries planning per-key windows over known-low-cardinality "
+        "partition keys (one value = one unsplittable task at scale); "
+        "either re-shape on operators/rankselect.py or, if the input "
+        f"is provably metadata-sized, allowlist with a reason: {offenders}"
+    )
+
+
+def test_bench_coverage_is_total():
+    """Every registered query is either bench-tracked (HEADLINE) or
+    carries an explicit exclusion reason (EXCLUDED) — no silent
+    bench-coverage gaps (round-5 verdict item 7). Disjoint, and no
+    stale names on either list."""
+    import bench
+
+    qnames = set(entrymod.queries())
+    headline = set(bench.HEADLINE)
+    excluded = set(bench.EXCLUDED)
+    assert not headline & excluded, sorted(headline & excluded)
+    assert headline | excluded == qnames, {
+        "unaccounted": sorted(qnames - headline - excluded),
+        "stale": sorted((headline | excluded) - qnames),
+    }
+    assert bench.STREAM_COLD <= headline
 
 
 def test_pushdown_survives_the_read_table_spread(spark, sf_small):

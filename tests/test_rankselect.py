@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flat_file_social_media_database_engine_spark.operators.rankselect import (
+    grouped_prefix_sum,
     grouped_rank,
     rank_select,
 )
@@ -167,6 +168,163 @@ def test_rank_select_picks_exact_rows(spark):
         assert (row.lo.v, row.lo.tid) == marks[1]
         assert (row.mid.v, row.mid.tid) == marks[-(-n // 2)]
         assert (row.hi.v, row.hi.tid) == marks[n]
+
+
+def test_rank_select_global_all_cuts_out_of_range(spark):
+    """Rows present but EVERY cut outside [1, n]: the ungrouped
+    branch must still report the real n (totals come from the
+    metadata-sized offsets table, mirroring the grouped spine — the
+    round-5 advisor catch), with all cuts null."""
+    df = spark.range(17).select(F.col("id").alias("v"), F.col("id").alias("tid"))
+    got = rank_select(
+        df,
+        [],
+        ["v", "tid"],
+        {"over": lambda n: n + 5, "under": lambda n: F.lit(0)},
+    ).collect()
+    assert len(got) == 1
+    assert got[0].n == 17
+    assert got[0].over is None and got[0].under is None
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    """Exclusive running sum pinned to the monolithic
+    partitionBy(group) window formulation, heavy ties included."""
+    df = _synthetic(spark, n=4001, groups=3).withColumn(
+        "val", (F.xxhash64("tid") % 100 + 100).cast("bigint")
+    )
+    got = grouped_prefix_sum(
+        df,
+        ["g"],
+        [F.col("v").asc(), F.col("tid").asc()],
+        value_col="val",
+        out_col="run",
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "tid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn("run", F.coalesce(F.sum("val").over(w), F.lit(0)))
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 5, 64])
+def test_grouped_prefix_sum_partition_count_invariant(spark, parts):
+    df = _synthetic(spark, n=499, groups=2).withColumn(
+        "val", (F.col("tid") % 9 + 1).cast("bigint")
+    )
+    got = sorted(
+        map(
+            tuple,
+            grouped_prefix_sum(
+                df,
+                ["g"],
+                [F.col("v").asc(), F.col("tid").asc()],
+                value_col="val",
+                out_col="run",
+                num_partitions=parts,
+            ).select("g", "v", "tid", "val", "run").collect(),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "tid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn(
+                "run", F.coalesce(F.sum("val").over(w), F.lit(0))
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_grouped_prefix_sum_global_and_null_group(spark):
+    """No-group case (sentinel path) and NULL as a real group."""
+    df = spark.range(50).select(
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id") % 4).alias("g"),
+        F.col("id").alias("tid"),
+        (F.col("id") % 6 + 1).cast("bigint").alias("val"),
+    )
+    got_g = grouped_prefix_sum(
+        df, ["g"], [F.col("tid").asc()], value_col="val", out_col="run"
+    )
+    assert got_g.count() == 50
+    w = (
+        Window.partitionBy("g")
+        .orderBy("tid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want_g = df.withColumn("run", F.coalesce(F.sum("val").over(w), F.lit(0)))
+    from collections import Counter
+
+    assert Counter(map(tuple, got_g.select(*want_g.columns).collect())) == Counter(
+        map(tuple, want_g.collect())
+    )
+    got = grouped_prefix_sum(
+        df, [], [F.col("tid").asc()], value_col="val", out_col="run"
+    )
+    wg = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("tid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn("run", F.coalesce(F.sum("val").over(wg), F.lit(0)))
+    assert Counter(map(tuple, got.select(*want.columns).collect())) == Counter(
+        map(tuple, want.collect())
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_pack_sequences_pins_to_window_formulation(spark, sf_dir):
+    """docs_pack_sequences' sharded prefix sum must be row-for-row
+    identical to the per-source monolithic window it replaced
+    (round-5 verdict item 1)."""
+    from flat_file_social_media_database_engine_spark.workloads.text import (
+        SEQ_LEN,
+        _tokens,
+        docs_pack_sequences,
+    )
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    got = sorted(map(tuple, docs_pack_sequences(spark, sf_dir).collect()))
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.size(_tokens()).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        map(
+            tuple,
+            tok.withColumn(
+                "start_offset",
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+            )
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                "start_offset",
+                F.floor(F.col("start_offset") / SEQ_LEN)
+                .cast("bigint")
+                .alias("chunk_id"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
 
 
 def test_rank_select_global_empty_input(spark):

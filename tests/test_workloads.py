@@ -340,9 +340,10 @@ def test_pretrain_mix_rates_from_survivor_census(spark, sf_small):
     assert rows, "pretrain mix report is empty"
     rates = {r["lang"]: r["keep_rate"] for r in rows}
     assert max(rates.values()) == 1.0  # anchor language survives whole
-    # rates must all be sqrt(n_min/n) for a single integer census:
-    # invert each rate to the implied census count and check
-    # integrality and a shared minimum
+    # invert each rate to its implied census ratio n/n_min and check
+    # the anchor inverts to exactly 1.0 (full integrality of n/n_min
+    # is not checkable here: the ratios need not be whole numbers,
+    # and n_min itself is not observable from the rates alone)
     implied = {
         lang: (1.0 / rate) ** 2 for lang, rate in rates.items() if rate > 0
     }

@@ -369,6 +369,11 @@ def main() -> int:
                 flagged.append(n)
             elif verdict == "REVIEW" and n not in review:
                 review.append(n)
+            elif verdict == "noise-floor" and n not in floored:
+                # keep the summary's noise-floor list complete for
+                # decade 2 as well (round-5 advisor: decade-2 floors
+                # were silently dropped from the summary line)
+                floored.append(n)
             lines.append(
                 f"| {n} | {d1:.2f} | {d10:.2f} | {r:.1f}x "
                 f"| {r / DATA_RATIO:.2f} | {verdict} |"
