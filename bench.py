@@ -280,30 +280,40 @@ def main() -> None:
     }
     if skipped:
         out["skipped"] = skipped
+    for line in contract_lines(out):
+        print(line)
+
+
+def contract_lines(out: dict, limit: int = 1900) -> list[str]:
+    """Render the contract dict as the stdout lines bench emits, with
+    the final (driver-parsed) line guaranteed under ``limit`` bytes.
+
+    The driver parses the contract out of a ~2000-byte stdout tail;
+    first shed the optional keys (~100 bytes), and if the line is
+    still too long — the dominant weight is the `queries` dict, ~35
+    bytes/entry — move per-query detail to its OWN earlier line (like
+    the cold detail) so the parsed tail line keeps only the required
+    keys, instead of recreating the r4 driver parse-null as the
+    headline grows. Unit-tested in tests/test_plan_hygiene.py."""
+    out = dict(out)
+    lines = []
     line = json.dumps(out)
-    if len(line) > 1900:
-        # The driver parses the contract line out of a ~2000-byte
-        # stdout tail; shed optional keys before the required ones.
+    if len(line) > limit:
         for key in ("cold_total", "method", "n_queries"):
             out.pop(key, None)
             line = json.dumps(out)
-            if len(line) <= 1900:
+            if len(line) <= limit:
                 break
-    if len(line) > 1900:
-        # Optional keys shed ~100 bytes; the dominant weight is the
-        # `queries` dict itself (~35 bytes/entry). Fall back to a
-        # minimal contract — per-query detail moves to its OWN earlier
-        # line (like the cold detail), the parsed tail line keeps only
-        # the required keys — instead of recreating the r4 driver
-        # parse-null as the headline grows.
-        print(json.dumps({"metric": "headline_queries_detail",
-                          "queries": out.pop("queries")}))
+    if len(line) > limit:
+        lines.append(json.dumps({"metric": "headline_queries_detail",
+                                 "queries": out.pop("queries")}))
         line = json.dumps(out)
-    assert len(line) <= 1900, (
-        f"bench contract line {len(line)} bytes > 1900: would be "
+    assert len(line) <= limit, (
+        f"bench contract line {len(line)} bytes > {limit}: would be "
         "truncated by the driver's stdout tail window"
     )
-    print(line)
+    lines.append(line)
+    return lines
 
 
 if __name__ == "__main__":

@@ -257,6 +257,41 @@ def test_bench_coverage_is_total():
     assert bench.STREAM_COLD <= headline
 
 
+def test_bench_contract_line_always_parseable():
+    """The driver reads only the last ~2000 stdout bytes: whatever
+    the headline grows to, the FINAL line must stay under the limit
+    and stay valid JSON with the required keys — the fallback moves
+    per-query detail to an earlier line rather than overflowing
+    (round-5 advisor: the key-shedding loop alone cannot save more
+    than ~100 bytes)."""
+    import json
+
+    import bench
+
+    def out_for(n):
+        return {
+            "metric": "headline_total_wall",
+            "value": 1.0,
+            "unit": "sec",
+            "queries": {f"query_name_number_{i:04d}": 0.123 for i in range(n)},
+            "n_queries": n,
+            "method": "min_of_2_passes_warm_except_stream_entries_cold",
+            "cold_total": 2.0,
+            "sf": 0.1,
+        }
+
+    small = bench.contract_lines(out_for(10))
+    assert len(small) == 1 and "queries" in json.loads(small[0])
+    big = bench.contract_lines(out_for(200))
+    assert len(big) == 2  # detail line + minimal contract line
+    assert len(big[-1]) <= 1900
+    parsed = json.loads(big[-1])
+    for key in ("metric", "value", "unit", "sf"):
+        assert key in parsed
+    detail = json.loads(big[0])
+    assert len(detail["queries"]) == 200
+
+
 def test_pushdown_survives_the_read_table_spread(spark, sf_small):
     """read_table spreads the payload tables (documents/embeddings)
     with a round-robin Repartition so packed single-row-group files

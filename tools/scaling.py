@@ -92,6 +92,10 @@ SF1_SET = [
     "sample_temperature_mix",
     "pipeline_pretrain_mix",
     "dedup_simhash_pairs",
+    # round-6 addition: the prefix-sum rewrite's first data-bound
+    # point (sharded offsets machinery replacing the per-source
+    # monolithic window).
+    "docs_pack_sequences",
 ]
 
 # Decade 2 (sf1 -> sf10, tools/make_sf1.py 100 replicas: 60M lineitem
@@ -116,6 +120,17 @@ SF10_SET = [
     "sample_temperature_mix",
     "pipeline_pretrain_mix",
     "dedup_simhash_pairs",  # flat through both decades (plan-bound)
+    # round-6 additions (round-5 verdict item 5): the rank ladders'
+    # second data-bound decade, the rewritten prefix sum, and the
+    # REVIEW-band capstone whose sf1 step was 4.7x.
+    "orders_rfm_segments",
+    "events_value_percentiles",
+    "docs_pack_sequences",
+    "pipeline_clean_corpus",
+    # span-family consumers re-measured under the min(struct)
+    # canonical-keep rewrite (dedup_span_exact already present).
+    "docs_strip_dup_spans",
+    "pipeline_dedup_corpus",
 ]
 
 
