@@ -54,6 +54,13 @@ _VERIFY_FIRST = [
     "docs_strip_dup_spans",
     "pipeline_dedup_corpus",
     "dedup_span_exact",  # shares the gram pass; named in the verdict
+    # --- CHANGED round 6: the embedding near-dup front's bucket key
+    # became corpus-size-adaptive (sig + ext bits) — both consumers
+    # of _neardup_pairs_shared must re-verify under the new plan.
+    # (sim_topk_lsh / multiprobe / recall_audit keep the 7-bit key
+    # and are already in the head's r3-stale band below.) ---
+    "sim_neardup_lsh",
+    "sim_semantic_dedup",
     # --- STALENESS ROTATION: the 22 queries whose last driver-green
     # row is round 3 (everything else is r4/r5-green). Grouped by
     # module for readability; order within the band is immaterial. ---
@@ -108,10 +115,12 @@ _VERIFY_FIRST = [
     "text_bigram_lm_score",
     "text_pii_scrub",
     "text_tfidf_topk",
-    "docs_chunk_overlap",
-    "pipeline_training_mix",
 ]
 _STABLE_TAIL = [
+    # yielded their head slots to the two round-6-changed near-dup
+    # queries (both pytest-pinned; they lead the round-7 rotation)
+    "docs_chunk_overlap",
+    "pipeline_training_mix",
     # Parked past slot 50: the 49 r5-green re-confirmations (fresh
     # last round, minus docs_pack_sequences which moved to the head)
     # followed by the 20 r4-green rows that lead the round-7
@@ -183,8 +192,6 @@ _STABLE_TAIL = [
     "dedup_graph_stats",
     "sim_embedding_stats",
     "sim_centroid_outliers",
-    "sim_neardup_lsh",
-    "sim_semantic_dedup",
     "sim_recall_audit",
     "docs_domain_budget",
 ]

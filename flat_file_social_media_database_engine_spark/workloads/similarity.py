@@ -59,6 +59,50 @@ _HYPERPLANES = [
     for b in range(LSH_BITS)
 ]
 
+# EXTENSION bits for the near-dup self-join front (round-6): with
+# LSH_BITS fixed, bucket occupancy grows linearly with the corpus and
+# the HOT_BUCKET_CAP eventually drops EVERY bucket — measured: at
+# sf10 (200k vectors) all 4096 (t, sig) buckets exceed the cap and
+# the near-dup front returned an (oracle-agreed) empty set. The
+# module's own design note ("bits should grow with
+# log2(N / target_bucket_size)") is implemented here: 7 extra
+# hyperplanes per table, SEPARATELY seeded so the base stream — and
+# with it every existing signature, oracle literal, and pinned
+# recall number — is bit-identical to round 5. The near-dup bucket
+# key appends `ext_bits(N)` of these to the base signature; the
+# top-k probe fronts keep the 7-bit key (their per-query probe cost
+# grows with bucket size but their two-phase re-score stays exact).
+_rng_ext = random.Random(0xE57B17)
+_HYPERPLANES_EXT = [
+    (t, b, [round(_rng_ext.gauss(0.0, 1.0), 6) for _ in range(_DIM)])
+    for t in range(LSH_TABLES)
+    for b in range(LSH_BITS, 2 * LSH_BITS)
+]
+
+# Extension-bit ladder: e = ceil(log2(N / (HOT_BUCKET_CAP * 64))) for
+# N past 4096, capped at 7 — pure INTEGER thresholds so the Spark
+# side (python) and the oracle (SQL CASE) cannot drift by a ULP the
+# way float log2 could. e=0 below 4096 vectors ⇒ the driver fixtures
+# (200 / 2k vectors) use exactly the round-5 bucket key. At e=7 the
+# key is 14 bits (16k buckets/table, good to ~2M vectors); past that
+# a real deployment regenerates with wider LSH_BITS — the ladder is
+# the adaptive range a fixed signature table can serve.
+_EXT_BASE = 4096
+
+
+def _ext_bits(n: int) -> int:
+    e = 0
+    while e < LSH_BITS and n > (_EXT_BASE << e):
+        e += 1
+    return e
+
+
+def _ext_bits_sql(n_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {n_expr} <= {_EXT_BASE << e} THEN {e}" for e in range(LSH_BITS)
+    )
+    return f"CASE {whens} ELSE {LSH_BITS} END"
+
 
 # ---------------------------------------------------------------------------
 # Shared vector primitives
@@ -182,39 +226,53 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH top-k (approximate scale path)
 # ---------------------------------------------------------------------------
 def _signatures(spark: SparkSession, vecs: DataFrame, id_col: str) -> DataFrame:
-    """(id, table, sig): one b-bit signature per vector per table.
+    """(id, table, sig, sigx): one base b-bit signature plus the
+    b extension bits (see ``_HYPERPLANES_EXT``) per vector per table.
 
     This is the one place in the engine where built-in expressions
-    genuinely can't compete: T×B×dim multiply-adds per row (28M at
-    sf0.1) run ~10M ops/s as interpreted higher-order functions but
-    vectorize to a single numpy matmul per Arrow batch — the
-    documented pandas_udf escape hatch. The hyperplane matrix ships
-    inside the UDF closure (224×64 doubles); output is one T-long sig
-    array per vector, exploded to (id, t, sig) rows. Map-only —
-    no join, no shuffle."""
+    genuinely can't compete: T×2B×dim multiply-adds per row run
+    ~10M ops/s as interpreted higher-order functions but vectorize to
+    a single numpy matmul per Arrow batch — the documented pandas_udf
+    escape hatch. The hyperplane matrix ships inside the UDF closure
+    (448×64 doubles); output packs (sigx << B) | sig into one long
+    per table, exploded and split into the two columns. The base
+    ``sig`` values are bit-identical to the pre-extension pass (the
+    extension planes are separately seeded and separately summed).
+    Map-only — no join, no shuffle."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     H = np.array(
-        [h for _, _, h in _HYPERPLANES], dtype=np.float64
-    )  # (T*B, dim) in (t, bit) order
+        [h for _, _, h in _HYPERPLANES] + [h for _, _, h in _HYPERPLANES_EXT],
+        dtype=np.float64,
+    )  # (2*T*B, dim): base planes then extension planes, (t, bit) order
     weights = 1 << np.arange(LSH_BITS, dtype=np.int64)
+    tb = LSH_TABLES * LSH_BITS
 
     # no type hints: pd is function-local, and pyspark can't resolve
     # the stringified 'pd.Series' annotation outside module scope
     @pandas_udf("array<long>")
     def sig_all_tables(emb):
         V = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        bits = (V @ H.T) >= 0  # (n, T*B)
+        bits = (V @ H.T) >= 0  # (n, 2*T*B)
         sigs = (
-            bits.reshape(len(V), LSH_TABLES, LSH_BITS) * weights
+            bits[:, :tb].reshape(len(V), LSH_TABLES, LSH_BITS) * weights
         ).sum(axis=2)  # (n, T)
-        return pd.Series(list(sigs))
+        sigx = (
+            bits[:, tb:].reshape(len(V), LSH_TABLES, LSH_BITS) * weights
+        ).sum(axis=2)
+        return pd.Series(list(sigs + (sigx << LSH_BITS)))
 
-    return vecs.select(
+    packed = vecs.select(
         F.col(id_col),
-        F.posexplode(sig_all_tables("embedding")).alias("t", "sig"),
+        F.posexplode(sig_all_tables("embedding")).alias("t", "packed"),
+    )
+    return packed.select(
+        F.col(id_col),
+        "t",
+        (F.col("packed") % (1 << LSH_BITS)).alias("sig"),
+        F.expr(f"shiftright(packed, {LSH_BITS})").alias("sigx"),
     )
 
 
@@ -240,10 +298,10 @@ def _corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_sig_ctes() -> str:
     """Shared oracle CTEs replaying the hyperplane signature pass in
-    DuckDB: the 224×64 hyperplane matrix is deterministic source-text
-    data (seeded, rounded to 6 decimals), so it embeds as a VALUES
-    table — ``repr`` round-trips each float bit-exactly into a SQL
-    literal. The signature BITS compare a dot product against zero,
+    DuckDB: the 448×64 hyperplane matrix (base + extension planes) is
+    deterministic source-text data (seeded, rounded to 6 decimals),
+    so it embeds as a VALUES table — ``repr`` round-trips each float
+    bit-exactly into a SQL literal. The signature BITS compare a dot product against zero,
     where numpy's matmul summation order could in principle flip a
     sign only if |dot| sits within float-summation drift of 0
     (~1e-14) — gaussian hyperplanes keep that probability negligible,
@@ -251,8 +309,9 @@ def _lsh_sig_ctes() -> str:
     Used by both the LSH top-k and LSH near-dup oracles."""
     hp_rows = ", ".join(
         f"({t}, {b}, [{', '.join(repr(x) for x in h)}])"
-        for t, b, h in _HYPERPLANES
+        for t, b, h in [*_HYPERPLANES, *_HYPERPLANES_EXT]
     )
+    dot = _dot_sql("e.embedding", "hp.h")
     return f"""hp(t, b, h) AS (VALUES {hp_rows}),
     base AS (
       SELECT vec_id, embedding,
@@ -261,9 +320,13 @@ def _lsh_sig_ctes() -> str:
     ),
     sigs AS (
       SELECT e.vec_id, hp.t,
-             CAST(sum(CASE WHEN {_dot_sql('e.embedding', 'hp.h')} >= 0
+             CAST(sum(CASE WHEN {dot} >= 0 AND hp.b < {LSH_BITS}
                            THEN (CAST(1 AS BIGINT) << hp.b) ELSE 0 END)
-                  AS BIGINT) AS sig
+                  AS BIGINT) AS sig,
+             CAST(sum(CASE WHEN {dot} >= 0 AND hp.b >= {LSH_BITS}
+                           THEN (CAST(1 AS BIGINT) << (hp.b - {LSH_BITS}))
+                           ELSE 0 END)
+                  AS BIGINT) AS sigx
       FROM embeddings e CROSS JOIN hp
       GROUP BY e.vec_id, hp.t
     )"""
@@ -372,7 +435,7 @@ def _multiprobe_oracle() -> str:
       SELECT e.vec_id AS query_id, hp.t, hp.b,
              {_dot_sql('e.embedding', 'hp.h')} AS d
       FROM embeddings e CROSS JOIN hp
-      WHERE e.vec_id < {N_QUERIES}
+      WHERE e.vec_id < {N_QUERIES} AND hp.b < {LSH_BITS}
     ),
     q0 AS (
       SELECT query_id, t,
@@ -666,43 +729,88 @@ from ._caps import HOT_BUCKET_CAP as _EMB_BUCKET_CAP
 
 
 _HOT_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EXT_BITS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _neardup_ext_bits(spark: SparkSession, sf_dir: str) -> int:
+    """Extension-bit count for the near-dup bucket key, from the
+    corpus row count (one count job, cached per (application,
+    sf_dir)). 0 on the driver fixtures — see the ladder note at
+    ``_ext_bits``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EXT_BITS_CACHE:
+        n = read_table(spark, sf_dir, "embeddings").count()
+        _EXT_BITS_CACHE[key] = _ext_bits(n)
+    return _EXT_BITS_CACHE[key]
+
+
+def _keyed_sigs(sigs: DataFrame, ext: int) -> DataFrame:
+    """(vec_id, t, k): the near-dup bucket key — base signature plus
+    the low ``ext`` extension bits. ext=0 reduces to k = sig exactly
+    (x % 1 == 0), i.e. the round-5 key."""
+    k = (
+        F.col("sig")
+        + (F.col("sigx") % F.lit(1 << ext)) * F.lit(1 << LSH_BITS)
+    ).cast("bigint")
+    return sigs.select("vec_id", "t", k.alias("k"))
 
 
 def _hot_sig_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Over-cap (t, sig) bucket keys, computed once per (application,
-    sf_dir) and materialized — rows-of-hot-buckets tiny (empty on the
+    """Over-cap (t, k) bucket keys — k is the ADAPTIVE near-dup key
+    (base sig + ext bits) — computed once per (application, sf_dir)
+    and materialized; rows-of-hot-buckets tiny (empty on the
     fixtures), derived by one count pass over the session-cached
     signature table; same policy as dedup._hot_band_keys."""
     from ..plans.materialize import materialize, session_cached
 
     def build():
-        sigs = _corpus_signatures(spark, sf_dir)
+        sigs = _keyed_sigs(
+            _corpus_signatures(spark, sf_dir),
+            _neardup_ext_bits(spark, sf_dir),
+        )
         return materialize(
-            sigs.groupBy("t", "sig")
+            sigs.groupBy("t", "k")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") > _EMB_BUCKET_CAP)
-            .select("t", "sig")
+            .select("t", "k")
         )
 
     return session_cached(_HOT_SIG_CACHE, spark, sf_dir, build)
 
 
-def _neardup_lsh_oracle() -> str:
+def _keyed_sig_ctes() -> str:
+    """Oracle twin of ``_keyed_sigs`` + the cap filter: composes after
+    ``sigs``; the extension-bit count derives from count(*) through
+    the same integer ladder (``_ext_bits_sql``)."""
     return f"""
-    WITH {_lsh_sig_ctes()},
+    extb AS (
+      SELECT {_ext_bits_sql('count(*)')} AS e FROM embeddings
+    ),
+    keyed AS (
+      SELECT s.vec_id, s.t,
+             CAST(s.sig + (s.sigx % (CAST(1 AS BIGINT) << extb.e))
+                  * {1 << LSH_BITS} AS BIGINT) AS k
+      FROM sigs s CROSS JOIN extb
+    ),
     sig_ok AS (
-      SELECT t, sig FROM sigs GROUP BY t, sig
+      SELECT t, k FROM keyed GROUP BY t, k
       HAVING count(*) <= {_EMB_BUCKET_CAP}
     ),
     sigs_c AS (
-      SELECT s.* FROM sigs s JOIN sig_ok k ON k.t = s.t AND k.sig = s.sig
+      SELECT s.* FROM keyed s JOIN sig_ok ok ON ok.t = s.t AND ok.k = s.k
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
       FROM sigs_c x
-      JOIN sigs_c y ON y.t = x.t AND y.sig = x.sig
+      JOIN sigs_c y ON y.t = x.t AND y.k = x.k
       WHERE x.vec_id < y.vec_id
-    )
+    )"""
+
+
+def _neardup_lsh_oracle() -> str:
+    return f"""
+    WITH {_lsh_sig_ctes()},
+    {_keyed_sig_ctes()}
     SELECT c.vec_id_a, c.vec_id_b,
            {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
     FROM cand c
@@ -729,10 +837,20 @@ def _neardup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = emb.select(
             "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
         )
-        sigs = _corpus_signatures(spark, sf_dir)
+        # ADAPTIVE bucket key (round-6): base sig + ext_bits(N)
+        # extension bits — with the key fixed at 7 bits, every bucket
+        # floods past the cap once N ≫ cap·2^bits (measured: ALL 4096
+        # buckets over cap at 200k vectors ⇒ zero candidates). The
+        # ladder keeps expected occupancy in the dozens through ~2M
+        # vectors while the driver fixtures (ext=0) keep the round-5
+        # key bit-identically.
+        sigs = _keyed_sigs(
+            _corpus_signatures(spark, sf_dir),
+            _neardup_ext_bits(spark, sf_dir),
+        )
         # Hot-bucket cap, mirroring the text pipeline's (dedup.py):
         # mass-duplicate embeddings — and EVERY failed-encoder zero
-        # vector, whose sign bits all agree — land in one (t, sig)
+        # vector, whose sign bits all agree — land in one (t, k)
         # bucket whose self-join is quadratic. Buckets past the cap
         # are degenerate duplicate clusters (exact dedup territory);
         # the oracle applies the identical HAVING filter, so the cap
@@ -740,13 +858,13 @@ def _neardup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — kilobytes at any scale) and anti-join, keeping the
         # signature side map-only
         sigs_c = sigs.join(
-            F.broadcast(_hot_sig_keys(spark, sf_dir)), ["t", "sig"], "left_anti"
+            F.broadcast(_hot_sig_keys(spark, sf_dir)), ["t", "k"], "left_anti"
         )
         cand = (
-            sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_a"))
+            sigs_c.select("t", "k", F.col("vec_id").alias("vec_id_a"))
             .join(
-                sigs_c.select("t", "sig", F.col("vec_id").alias("vec_id_b")),
-                ["t", "sig"],
+                sigs_c.select("t", "k", F.col("vec_id").alias("vec_id_b")),
+                ["t", "k"],
             )
             .filter(F.col("vec_id_a") < F.col("vec_id_b"))
             .select("vec_id_a", "vec_id_b")
@@ -1826,19 +1944,7 @@ def _semantic_dedup_oracle() -> str:
     cos = f"{_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
     return f"""
     WITH {_lsh_sig_ctes()},
-    sig_ok AS (
-      SELECT t, sig FROM sigs GROUP BY t, sig
-      HAVING count(*) <= {_EMB_BUCKET_CAP}
-    ),
-    sigs_c AS (
-      SELECT s.* FROM sigs s JOIN sig_ok k ON k.t = s.t AND k.sig = s.sig
-    ),
-    cand AS (
-      SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
-      FROM sigs_c x
-      JOIN sigs_c y ON y.t = x.t AND y.sig = x.sig
-      WHERE x.vec_id < y.vec_id
-    ),
+    {_keyed_sig_ctes()},
     verified AS (
       SELECT c.vec_id_a, c.vec_id_b, {cos} AS cosine
       FROM cand c

@@ -342,3 +342,64 @@ def test_recall_audit_structure_and_dominance(spark, sf_small):
         assert 0 <= r["n_caught"] <= r["n_true"]
         assert r["recall"] == pytest.approx(r["n_caught"] / r["n_true"])
     assert rows["lsh_multiprobe"]["n_caught"] >= rows["lsh"]["n_caught"]
+
+
+def test_ext_bits_ladder():
+    """Integer thresholds: e = ceil(log2(n/4096)) clamped to [0, 7],
+    with the driver fixtures (200 / 2k vectors) pinned at 0 so their
+    bucket keys — and every driver-green hash — are unchanged."""
+    from flat_file_social_media_database_engine_spark.workloads.similarity import (
+        _ext_bits,
+    )
+
+    assert _ext_bits(200) == 0
+    assert _ext_bits(2_000) == 0
+    assert _ext_bits(4_096) == 0
+    assert _ext_bits(4_097) == 1
+    assert _ext_bits(8_192) == 1
+    assert _ext_bits(20_000) == 3
+    assert _ext_bits(200_000) == 6
+    assert _ext_bits(262_144) == 6
+    assert _ext_bits(262_145) == 7
+    assert _ext_bits(10**9) == 7
+
+
+def test_neardup_lsh_adaptive_bits_keep_recall_at_density(
+    spark, tmp_path_factory
+):
+    """The round-6 bucket-key widening: at 5000 vectors (ext=1) the
+    7-bit front floods every bucket past HOT_BUCKET_CAP and finds
+    NOTHING; the adaptive key must still surface planted exact twins.
+    Also pins that the extension leaves the base signature unchanged
+    (ext bits are separately seeded)."""
+    import numpy as np
+
+    from flat_file_social_media_database_engine_spark.workloads import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    base = rng.standard_normal((n, 64)).astype(np.float32)
+    rows = [
+        (i, [float(x) for x in base[i]], 0) for i in range(n)
+    ]
+    # planted twins: tiny perturbations of vectors 0..9 (cosine ~1)
+    for j in range(10):
+        v = base[j] + rng.standard_normal(64).astype(np.float32) * 1e-3
+        rows.append((100_000 + j, [float(x) for x in v], 0))
+    d = tmp_path_factory.mktemp("adaptive")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    assert S._neardup_ext_bits(spark, str(d)) == 1
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in S.sim_neardup_lsh(spark, str(d)).collect()
+    }
+    planted = {(j, 100_000 + j) for j in range(10)}
+    assert planted <= pairs, sorted(planted - pairs)
+    # every reported pair is exactly verified at the threshold
+    for r in S.sim_neardup_lsh(spark, str(d)).collect():
+        assert r["cosine"] >= S.NEARDUP_COSINE
