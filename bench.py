@@ -264,9 +264,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
-        "n_queries": len(per_query),  # headline grew r1→…→r5
-        # (9→16→38→40→44); compare per-query times across rounds,
-        # not the total alone.
+        "n_queries": len(per_query),  # headline grew r1→…→r6
+        # (9→16→38→40→44→48); compare per-query times across rounds,
+        # not the total alone. Round 6 also moved the two streaming
+        # entries from warm sink re-reads (~0.1 s) to honest cold
+        # stream-execution walls (~10 s combined at sf0.1) — that is
+        # reporting change, not regression.
         # Shared session passes (shingles, span grams, LSH signatures,
         # k-means quantizer, dequantize table) build during pass 1 and
         # serve pass 2 from cache, so per-query minima measure the

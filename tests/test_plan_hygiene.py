@@ -239,6 +239,32 @@ def test_no_query_plans_a_lowcard_window(all_plans):
     )
 
 
+def test_no_query_plans_a_cartesian_product(spark, sf_small):
+    """No query's PHYSICAL plan may contain CartesianProduct: a
+    data×data cross join with no broadcastable side replicates every
+    left partition against every right partition — quadratic shuffle
+    IO at scale. Audited round 6: zero hits across all 119 queries —
+    even the intentionally-quadratic baselines (sim_neardup_cosine,
+    sim_topk_bruteforce) express their all-pairs as
+    BroadcastNestedLoopJoin over a bounded broadcast side, so the
+    allowlist is EMPTY; a future hit means a join lost its broadcast
+    and must be re-shaped, not allowlisted casually."""
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = (
+            fn(spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, (
+        f"queries planning CartesianProduct (quadratic shuffle IO at "
+        f"scale): {sorted(offenders)}"
+    )
+
+
 def test_bench_coverage_is_total():
     """Every registered query is either bench-tracked (HEADLINE) or
     carries an explicit exclusion reason (EXCLUDED) — no silent
