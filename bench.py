@@ -139,6 +139,7 @@ EXCLUDED = {
     "dedup_bloom_prefilter": "kilobyte broadcast bitmap; sub-second",
     "dedup_contamination": "benchmark-overlap probe on the shared shingle pass",
     "sim_topk_ivf_kmeans": "shares benched IVF plan with trained centroids",
+    "sim_topk_ivf_persisted": "index writer (offline build); read path answers-identical to sim_topk_ivf_kmeans",
     "sim_topk_ivfpq": "composition of benched sim_topk_ivf + sim_topk_pq passes",
     "sim_embedding_stats": "sub-second per-label moment agg",
     "sim_centroid_outliers": "sub-second combiner-pruned top-N on cached quantizer",

@@ -61,6 +61,9 @@ _VERIFY_FIRST = [
     # and are already in the head's r3-stale band below.) ---
     "sim_neardup_lsh",
     "sim_semantic_dedup",
+    # --- NEW round 6 (first verification): persisted cell-partitioned
+    # IVF index with file-level partition pruning on the probe ---
+    "sim_topk_ivf_persisted",
     # --- STALENESS ROTATION: the 22 queries whose last driver-green
     # row is round 3 (everything else is r4/r5-green). Grouped by
     # module for readability; order within the band is immaterial. ---
@@ -114,13 +117,14 @@ _VERIFY_FIRST = [
     "sample_train_split",
     "text_bigram_lm_score",
     "text_pii_scrub",
-    "text_tfidf_topk",
 ]
 _STABLE_TAIL = [
-    # yielded their head slots to the two round-6-changed near-dup
-    # queries (both pytest-pinned; they lead the round-7 rotation)
+    # yielded their head slots to the round-6-changed near-dup
+    # queries and the new persisted-IVF entry (all pytest-pinned;
+    # they lead the round-7 rotation)
     "docs_chunk_overlap",
     "pipeline_training_mix",
+    "text_tfidf_topk",
     # Parked past slot 50: the 49 r5-green re-confirmations (fresh
     # last round, minus docs_pack_sequences which moved to the head)
     # followed by the 20 r4-green rows that lead the round-7

@@ -403,3 +403,29 @@ def test_neardup_lsh_adaptive_bits_keep_recall_at_density(
     # every reported pair is exactly verified at the threshold
     for r in S.sim_neardup_lsh(spark, str(d)).collect():
         assert r["cosine"] >= S.NEARDUP_COSINE
+
+
+def test_ivf_persisted_matches_inmemory_and_prunes_partitions(
+    spark, sf_small
+):
+    """The persisted cell-partitioned IVF index must (a) return
+    row-identical results to the in-memory sim_topk_ivf_kmeans (same
+    quantizer, nprobe, scoring) and (b) actually PRUNE at the file
+    level: the parquet scan's PartitionFilters carries the probed
+    cell set, so unprobed cells' files are never opened — the
+    'written bucketed by cell' claim as a pinned plan property."""
+    from flat_file_social_media_database_engine_spark.workloads.similarity import (
+        sim_topk_ivf_kmeans,
+        sim_topk_ivf_persisted,
+    )
+
+    got = sim_topk_ivf_persisted(spark, sf_small)
+    want = sorted(map(tuple, sim_topk_ivf_kmeans(spark, sf_small).collect()))
+    assert sorted(map(tuple, got.collect())) == want
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "cell" in m.group(1) and ("IN" in m.group(1) or "isin" in m.group(1)), m.group(1)
