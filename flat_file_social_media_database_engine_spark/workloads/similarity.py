@@ -1500,15 +1500,19 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_similarity.py. Same answer set as sim_topk_ivf_kmeans
 # (identical quantizer, nprobe, scoring), so it shares that oracle.
 # ---------------------------------------------------------------------------
-_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_IVF_INDEX_CACHE: dict[tuple[str, str], tuple[str, "object"]] = {}
 
 
-def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the IVF lists (vec_id, embedding, nrm, partitioned by
     cell) once per (application, sf_dir) — the offline index build —
-    and return the path. Deterministic contents: the k-means
-    quantizer is seeded and session-cached, so assignment is a pure
-    function of the corpus."""
+    and return the read-back DataFrame. Deterministic contents: the
+    k-means quantizer is seeded and session-cached, so assignment is
+    a pure function of the corpus. The read passes the written
+    schema EXPLICITLY: an empty corpus writes zero parquet files and
+    zero partition directories, so schema inference on the bare
+    store would fail (caught by the empty-tables differential) —
+    with the schema supplied, an empty index is just an empty scan."""
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1521,12 +1525,12 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         fullv = emb.select(
             "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
         )
+        lists = asn.join(fullv, "vec_id")
         path = tempfile.mkdtemp(prefix="ivf_index_")
-        asn.join(fullv, "vec_id").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(path)
-        _IVF_INDEX_CACHE[key] = path
-    return _IVF_INDEX_CACHE[key]
+        lists.write.mode("overwrite").partitionBy("cell").parquet(path)
+        _IVF_INDEX_CACHE[key] = (path, lists.schema)
+    path, schema = _IVF_INDEX_CACHE[key]
+    return spark.read.schema(schema).parquet(path)
 
 
 @query("sim_topk_ivf_persisted", oracle=_ivf_kmeans_oracle())
@@ -1545,7 +1549,7 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of compile-time pruning; the fixture-sized K makes the
     static form the honest, pinnable one here."""
     base, cents = _kmeans_train(spark, sf_dir)
-    idx = spark.read.parquet(_ivf_index_path(spark, sf_dir)).withColumn(
+    idx = _ivf_index(spark, sf_dir).withColumn(
         "cell", F.col("cell").cast("bigint")
     )
     qd2 = (
