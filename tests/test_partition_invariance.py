@@ -101,6 +101,10 @@ INVARIANCE_SET = [
     "orders_market_basket",
     "pipeline_pretrain_mix",
     "dedup_simhash_pairs",
+    # r6 addition: the persisted IVF index — file layout of the
+    # partitioned store (written under each variant's shuffle count)
+    # must not leak into the probe's top-k
+    "sim_topk_ivf_persisted",
 ]
 
 
