@@ -1599,7 +1599,7 @@ def _noncanonical_removal(grams: DataFrame) -> DataFrame:
     use. (doc_id, pos) is unique per occurrence, so the min struct is
     a total-order pick — same rows as the rank>1 formulation, pinned
     by the span-family oracles and the planted hot-gram test in
-    tests/test_workloads.py."""
+    tests/test_dedup.py."""
     dup = _dup_occurrences(grams)
     canon = dup.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("__canon")

@@ -1369,6 +1369,31 @@ def _kmeans_train(
 KMEANS_NPROBE = 4
 
 
+def _ivf_probe_set(base: DataFrame, cents: DataFrame, bigint: bool = False):
+    """(query_id, cell): each query's nprobe nearest trained cells —
+    rank the K centroid distances per query (Q·K rows, a broadcast
+    cross join of the K-row centroid set). Map-only per query; shared
+    by the in-memory and the persisted IVF read paths (and by the
+    pruning test, which asserts the probe union is a strict subset of
+    the index's cells on a clustered corpus)."""
+    cell = F.col("cid").cast("bigint") if bigint else F.col("cid")
+    qd2 = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents.select("cid", F.col("v").alias("cv"))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            cell.alias("cell"),
+            _km_d2(F.col("v"), F.col("cv")).alias("d2"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "cell")
+    return (
+        qd2.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= KMEANS_NPROBE)
+        .select("query_id", "cell")
+    )
+
+
 def _ivf_kmeans_oracle() -> str:
     ctes, final_c = _kmeans_ctes()
     return f"""
@@ -1440,25 +1465,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
     )
     lists = asn.join(fullv, "vec_id")
-    # probing: rank the K centroid distances per query (Q·K rows — a
-    # broadcast cross join of the 8 trained centroids)
-    qd2 = (
-        base.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(
-            F.broadcast(cents.select("cid", F.col("v").alias("cv")))
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cid").alias("cell"),
-            _km_d2(F.col("v"), F.col("cv")).alias("d2"),
-        )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy("d2", "cell")
-    probes = (
-        qd2.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= KMEANS_NPROBE)
-        .select("query_id", "cell")
-    )
+    probes = _ivf_probe_set(base, cents)
     q = fullv.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1503,17 +1510,45 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict[tuple[str, str], tuple[str, "object"]] = {}
 
 
+def _index_root(spark: SparkSession, prefix: str) -> str:
+    """Root directory for persisted index artifacts. Configurable via
+    ``spark.flatfile.indexDir`` — on a real cluster set it to shared
+    storage (HDFS/S3) so every executor sees the same files; the
+    default (a driver-local temp dir, removed at interpreter exit) is
+    a LOCAL-MODE convenience only, exactly like `spark-warehouse/`
+    defaults."""
+    import atexit
+    import shutil
+    import tempfile
+
+    conf_dir = spark.conf.get("spark.flatfile.indexDir", None)
+    if conf_dir:
+        return conf_dir.rstrip("/")
+    global _DEFAULT_INDEX_ROOT
+    if _DEFAULT_INDEX_ROOT is None:
+        _DEFAULT_INDEX_ROOT = tempfile.mkdtemp(prefix=f"{prefix}_")
+        atexit.register(shutil.rmtree, _DEFAULT_INDEX_ROOT, True)
+    return _DEFAULT_INDEX_ROOT
+
+
+_DEFAULT_INDEX_ROOT: str | None = None
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the IVF lists (vec_id, embedding, nrm, partitioned by
     cell) once per (application, sf_dir) — the offline index build —
-    and return the read-back DataFrame. Deterministic contents: the
-    k-means quantizer is seeded and session-cached, so assignment is
-    a pure function of the corpus. The read passes the written
-    schema EXPLICITLY: an empty corpus writes zero parquet files and
-    zero partition directories, so schema inference on the bare
-    store would fail (caught by the empty-tables differential) —
-    with the schema supplied, an empty index is just an empty scan."""
-    import tempfile
+    and return the read-back DataFrame. The store lives under
+    ``_index_root`` (configurable shared storage on a cluster;
+    cleaned-up temp dir in local mode), keyed by a digest of
+    (app, sf_dir) so repeated builds overwrite instead of leak.
+    Deterministic contents: the k-means quantizer is seeded and
+    session-cached, so assignment is a pure function of the corpus.
+    The read passes the written schema EXPLICITLY: an empty corpus
+    writes zero parquet files and zero partition directories, so
+    schema inference on the bare store would fail (caught by the
+    empty-tables differential) — with the schema supplied, an empty
+    index is just an empty scan."""
+    import hashlib
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
@@ -1526,7 +1561,8 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
         )
         lists = asn.join(fullv, "vec_id")
-        path = tempfile.mkdtemp(prefix="ivf_index_")
+        digest = hashlib.sha256("\x00".join(key).encode()).hexdigest()[:16]
+        path = f"{_index_root(spark, 'ivf_index')}/ivf_{digest}"
         lists.write.mode("overwrite").partitionBy("cell").parquet(path)
         _IVF_INDEX_CACHE[key] = (path, lists.schema)
     path, schema = _IVF_INDEX_CACHE[key]
@@ -1539,37 +1575,22 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     results to ``sim_topk_ivf_kmeans`` (same trained quantizer, same
     nprobe/scoring — it shares that oracle), but the lists are read
     back from the partitioned store and the probe prunes at the FILE
-    level: the probed cell set is collected (≤ KMEANS_K rows — the
-    same metadata-scale class as the CC convergence probe) into an
-    `isin` predicate, so the scan's `PartitionFilters` keeps only
-    nprobe cells' files per query set and the other cells are never
-    opened. At real scale (K in the tens of thousands, streams of
-    query batches) the literal list gives way to Dynamic Partition
-    Pruning off the broadcast probe join — same plan family, runtime
-    instead of compile-time pruning; the fixture-sized K makes the
-    static form the honest, pinnable one here."""
+    level via DYNAMIC PARTITION PRUNING: the probe set joins the
+    index as a broadcast hash join on the partition column, so
+    Catalyst plants a `dynamicpruning` subquery in the scan's
+    `PartitionFilters` — the broadcast's cell values decide AT
+    RUNTIME which partition directories are listed, and unprobed
+    cells' files are never opened (pinned in
+    tests/test_similarity.py, with a strict-subset check so the
+    assertion can't go vacuously green). No collect, no driver
+    round-trip, no literal list to outgrow: the identical plan
+    serves K in the tens of thousands and streams of query batches
+    — the round-6 `isin`-literal form survives only in git history."""
     base, cents = _kmeans_train(spark, sf_dir)
     idx = _ivf_index(spark, sf_dir).withColumn(
         "cell", F.col("cell").cast("bigint")
     )
-    qd2 = (
-        base.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cents.select("cid", F.col("v").alias("cv"))))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cid").cast("bigint").alias("cell"),
-            _km_d2(F.col("v"), F.col("cv")).alias("d2"),
-        )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy("d2", "cell")
-    probes = (
-        qd2.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= KMEANS_NPROBE)
-        .select("query_id", "cell")
-    )
-    probed_cells = [
-        r["cell"] for r in probes.select("cell").distinct().collect()
-    ]
+    probes = _ivf_probe_set(base, cents, bigint=True)
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1577,8 +1598,7 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_norm2("embedding")).alias("qn"),
     )
     scored = (
-        idx.filter(F.col("cell").isin(probed_cells))
-        .join(F.broadcast(probes), "cell")
+        idx.join(F.broadcast(probes), "cell")
         .join(F.broadcast(q), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(

@@ -411,10 +411,16 @@ def test_ivf_persisted_matches_inmemory_and_prunes_partitions(
     """The persisted cell-partitioned IVF index must (a) return
     row-identical results to the in-memory sim_topk_ivf_kmeans (same
     quantizer, nprobe, scoring) and (b) actually PRUNE at the file
-    level: the parquet scan's PartitionFilters carries the probed
-    cell set, so unprobed cells' files are never opened — the
-    'written bucketed by cell' claim as a pinned plan property."""
+    level via DYNAMIC PARTITION PRUNING: the index scan's
+    PartitionFilters must carry a `dynamicpruning` subquery on cell
+    (runtime pruning off the broadcast probe join — no collected
+    literal to outgrow), and the probed cell set must be a STRICT
+    subset of all cells so the claim can't go vacuously green when
+    nprobe covers the whole quantizer (round-6 advice)."""
     from flat_file_social_media_database_engine_spark.workloads.similarity import (
+        KMEANS_K,
+        KMEANS_NPROBE,
+        _ivf_index,
         sim_topk_ivf_kmeans,
         sim_topk_ivf_persisted,
     )
@@ -426,6 +432,63 @@ def test_ivf_persisted_matches_inmemory_and_prunes_partitions(
     plan = got._jdf.queryExecution().executedPlan().toString()
     import re
 
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m is not None, plan
-    assert "cell" in m.group(1) and ("IN" in m.group(1) or "isin" in m.group(1)), m.group(1)
+    idx_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "ivf_" in ln
+    ]
+    assert idx_scans, plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", idx_scans[0])
+    assert m is not None, idx_scans[0]
+    assert "cell" in m.group(1) and "dynamicpruning" in m.group(1), m.group(1)
+    assert _ivf_index(spark, sf_small).select("cell").distinct().count() > 1
+    assert KMEANS_NPROBE < KMEANS_K
+
+
+def test_ivf_persisted_pruning_is_strict_on_clustered_queries(
+    spark, tmp_path_factory
+):
+    """Round-6 advice: the pruning assertion is vacuous if the query
+    set's probe union happens to cover every cell (it does on the
+    near-random driver fixtures — 10 queries × nprobe 4 saturate the
+    8-cell quantizer). Plant a corpus with well-separated clusters
+    and ALL queries inside one cluster: their probes must then cover
+    a STRICT subset of the index's cells, so the DPP subquery
+    provably leaves partition directories unread."""
+    import numpy as np
+
+    from flat_file_social_media_database_engine_spark.workloads import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(11)
+    # 16 far-apart cluster centers; queries (vec_id < 10) all sit in
+    # cluster 0, so nprobe=4 cells bound the probe union
+    centers = rng.standard_normal((16, 64)) * 50.0
+    rows = []
+    for i in range(2000):
+        c = centers[i % 16] if i >= 10 else centers[0]
+        v = c + rng.standard_normal(64) * 0.1
+        rows.append((i, [float(x) for x in v], 0))
+    d = tmp_path_factory.mktemp("ivf_clustered")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    got = S.sim_topk_ivf_persisted(spark, str(d))
+    want = sorted(
+        map(tuple, S.sim_topk_ivf_kmeans(spark, str(d)).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == want
+
+    n_cells = S._ivf_index(spark, str(d)).select("cell").distinct().count()
+    # the probe UNION itself (the set DPP prunes to), not just the
+    # cells that happened to hold results
+    base, cents = S._kmeans_train(spark, str(d))
+    probe_union = (
+        S._ivf_probe_set(base, cents).select("cell").distinct().count()
+    )
+    assert probe_union <= S.KMEANS_NPROBE  # clustered queries agree
+    assert probe_union < n_cells  # strict: some cells never read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
