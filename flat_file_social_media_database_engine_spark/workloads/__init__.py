@@ -44,29 +44,109 @@ def query(name: str, oracle: str | None = None):
 #     round; these absorb the overflow past slot 50.
 # Everything else keeps its module registration order in between.
 _VERIFY_FIRST = [
-    # --- CHANGED round 6: the two structural rewrites from the
-    # round-5 verdict — docs_pack_sequences' prefix sum re-based on
-    # operators/rankselect.py's sharded offsets machinery, and the
-    # span family's canonical-keep re-based on a partial-aggregable
-    # per-h min(struct) instead of a per-gram-hash window. All four
-    # consumers must re-verify under the new plans. ---
+    # --- CHANGED round 7: the top-k LSH probe fronts adopt the
+    # adaptive ext-bits bucket key (the round-6 verdict's one weak
+    # item), multiprobe widens its flip budget to MULTIPROBE_FLIPS+e,
+    # and the recall audit composes both, so all three must re-verify
+    # under the new plans/oracles; the persisted-IVF probe moved from
+    # a collected isin literal to Dynamic Partition Pruning. ---
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    "sim_recall_audit",  # also r4-stale — doubly due
+    "sim_topk_ivf_persisted",
+    # --- STALENESS ROTATION (round-6 verdict item 1): the remaining
+    # 20 queries whose last driver-green row is round 4 — everything
+    # else on the surface is r5/r6-green. Grouped by module; order
+    # within the band is immaterial. ---
+    "dedup_containment_pairs",
+    "dedup_source_stats",
+    "dedup_incremental_minhash",
+    "dedup_cross_source",
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "dedup_contamination",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "dedup_bloom_prefilter",
+    "dedup_graph_stats",
+    "sim_embedding_stats",
+    "sim_centroid_outliers",
+    "docs_chunk_overlap",
+    "docs_domain_budget",
+    "pipeline_training_mix",
+    "text_tfidf_topk",
+    # --- r5-green re-confirmations filling the window to exactly 50
+    # (26 of the 49 r5 entries; non-bench-tracked rows first, since
+    # bench gives the tracked ones an implicit per-round smoke — the
+    # 23 leftovers park in the tail and lead the round-8 rotation).
+    # ---
+    "a1_conditional_counts",
+    "a2_orders_rollup",
+    "a3_approx_distinct",
+    "a3_distinct_counts",
+    "a4_existence_checks",
+    "a5_approx_median",
+    "a5_median_totalprice",
+    "dedup_simhash",
+    "e1_intersect_custkeys",
+    "e2_except_custkeys",
+    "events_asof_attribution",
+    "events_funnel",
+    "events_json_extract",
+    "j5_ri_sweep",
+    "m3_rekey_cascade_orders",
+    "q2_engagements_by_segment",
+    "s3_ri_filter_orders",
+    "s7_multiformat_union",
+    "sample_stratified",
+    "text_bpe_token_count",
+    "text_commonness_score",
+    "text_fingerprint",
+    "text_langid",
+    "text_repetition_ratio",
+    "text_source_stats",
+    "text_token_freq",
+]
+_STABLE_TAIL = [
+    # --- r5-green leftovers: 4 reference-parity basics with dense
+    # pytest coverage (test_social_golden / loader properties) plus
+    # the 19 r5 rows bench smokes every round — they LEAD the
+    # round-8 rotation. ---
+    "p3_filter_project",
+    "p5_point_lookup",
+    "p6_p7_trim_strict_cast",
+    "q1_user_events",
+    "q_pricing_summary",
+    "q_top_revenue_orders",
+    "q_region_revenue",
+    "j2_chained_ri_lineitem",
+    "o1_multikey_sort",
+    "a2_orders_per_customer",
+    "events_hourly_rollup",
+    "m1_apply_price_deltas",
+    "dedup_exact",
+    "text_quality_score",
+    "pipeline_clean_corpus",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "orders_rfm_segments",
+    "events_value_percentiles",
+    "orders_market_basket",
+    "sample_temperature_mix",
+    "pipeline_pretrain_mix",
+    "dedup_simhash_pairs",
+    # --- r6-green re-confirmations (fresh last round, minus the
+    # three that moved to the head as round-7-changed): follow the
+    # r5 leftovers in the round-8 rotation. ---
     "docs_pack_sequences",
     "docs_strip_dup_spans",
     "pipeline_dedup_corpus",
-    "dedup_span_exact",  # shares the gram pass; named in the verdict
-    # --- CHANGED round 6: the embedding near-dup front's bucket key
-    # became corpus-size-adaptive (sig + ext bits) — both consumers
-    # of _neardup_pairs_shared must re-verify under the new plan.
-    # (sim_topk_lsh / multiprobe / recall_audit keep the 7-bit key
-    # and are already in the head's r3-stale band below.) ---
+    "dedup_span_exact",
     "sim_neardup_lsh",
     "sim_semantic_dedup",
-    # --- NEW round 6 (first verification): persisted cell-partitioned
-    # IVF index with file-level partition pruning on the probe ---
-    "sim_topk_ivf_persisted",
-    # --- STALENESS ROTATION: the 22 queries whose last driver-green
-    # row is round 3 (everything else is r4/r5-green). Grouped by
-    # module for readability; order within the band is immaterial. ---
     "events_pivot_daily",
     "events_retention",
     "events_sliding_rollup",
@@ -81,21 +161,12 @@ _VERIFY_FIRST = [
     "mm_decode_features",
     "mm_frame_stats",
     "mm_resize_stats",
-    "sim_topk_lsh",
-    "sim_topk_lsh_multiprobe",
     "sim_topk_pq",
     "sim_topk_ivf_kmeans",
     "sim_topk_ivfpq",
     "sim_kmeans_assign",
     "sim_dim_stats",
     "sim_neardup_cosine",
-    # --- r4-green re-confirmations filling the window to exactly 50
-    # (24 of the 44 remaining r4 entries; the other 20 — the dedup
-    # LSH/cluster family + sim recall/embedding rows — park in the
-    # tail and lead the round-7 rotation): snapshot/mutation suite,
-    # streaming entries, and the non-bench-tracked analytics rows
-    # first, since bench gives the tracked ones an implicit per-round
-    # smoke. ---
     "m2_validated_append",
     "m4_delete_upsert",
     "m5_snapshot_diff",
@@ -117,87 +188,6 @@ _VERIFY_FIRST = [
     "sample_train_split",
     "text_bigram_lm_score",
     "text_pii_scrub",
-]
-_STABLE_TAIL = [
-    # yielded their head slots to the round-6-changed near-dup
-    # queries and the new persisted-IVF entry (all pytest-pinned;
-    # they lead the round-7 rotation)
-    "docs_chunk_overlap",
-    "pipeline_training_mix",
-    "text_tfidf_topk",
-    # Parked past slot 50: the 49 r5-green re-confirmations (fresh
-    # last round, minus docs_pack_sequences which moved to the head)
-    # followed by the 20 r4-green rows that lead the round-7
-    # rotation. Re-confirmations only — parking these loses no first
-    # verification.
-    "sample_temperature_mix",
-    "orders_market_basket",
-    "pipeline_pretrain_mix",
-    "dedup_simhash_pairs",
-    "orders_rfm_segments",
-    "events_value_percentiles",
-    "s7_multiformat_union",
-    "q_pricing_summary",
-    "q_region_revenue",
-    "q_top_revenue_orders",
-    "a1_conditional_counts",
-    "a2_orders_per_customer",
-    "a2_orders_rollup",
-    "a3_distinct_counts",
-    "a3_approx_distinct",
-    "a4_existence_checks",
-    "a5_median_totalprice",
-    "a5_approx_median",
-    "e1_intersect_custkeys",
-    "e2_except_custkeys",
-    "j2_chained_ri_lineitem",
-    "j5_ri_sweep",
-    "o1_multikey_sort",
-    "p3_filter_project",
-    "p5_point_lookup",
-    "p6_p7_trim_strict_cast",
-    "s3_ri_filter_orders",
-    "q1_user_events",
-    "q2_engagements_by_segment",
-    "m1_apply_price_deltas",
-    "m3_rekey_cascade_orders",
-    "dedup_exact",
-    "dedup_simhash",
-    "text_token_freq",
-    "text_fingerprint",
-    "text_source_stats",
-    "text_repetition_ratio",
-    "text_langid",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_commonness_score",
-    "pipeline_clean_corpus",
-    "sample_stratified",
-    "sim_topk_ivf",
-    "sim_topk_bruteforce",
-    "events_json_extract",
-    "events_hourly_rollup",
-    "events_asof_attribution",
-    "events_funnel",
-    # --- r4-green, lead the round-7 rotation ---
-    "dedup_containment_pairs",
-    "dedup_source_stats",
-    "dedup_incremental_minhash",
-    "dedup_cross_source",
-    "dedup_minhash_lsh",
-    "dedup_lsh_recall",
-    "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    "dedup_contamination",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "dedup_bloom_prefilter",
-    "dedup_graph_stats",
-    "sim_embedding_stats",
-    "sim_centroid_outliers",
-    "sim_recall_audit",
-    "docs_domain_budget",
 ]
 
 
