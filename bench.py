@@ -71,6 +71,8 @@ HEADLINE = [
     "docs_domain_budget",  # r6: per-source cap via batch-local top-k combiner
     "dedup_containment_pairs",  # r6: asymmetric-containment verify on LSH front
     "sim_recall_audit",  # r6: per-decile recall of lsh/multiprobe/ivf vs brute
+    "dedup_incremental_persisted",  # r7: ingest probe of the SnapshotStore-
+    # committed band index (DPP on the probe scan; cold pass pays the build)
 ]
 
 # Streaming entries whose WARM number is a sink re-read under session

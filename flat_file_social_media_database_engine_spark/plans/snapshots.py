@@ -31,6 +31,31 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_DEFAULT_INDEX_ROOT: str | None = None
+
+
+def index_root(spark, prefix: str) -> str:
+    """Root directory for persisted index artifacts (the IVF cell
+    index, the corpus band index). Configurable via
+    ``spark.flatfile.indexDir`` — on a real cluster set it to shared
+    storage (HDFS/S3) so every executor sees the same files; the
+    default (a driver-local temp dir, removed at interpreter exit) is
+    a LOCAL-MODE convenience only, exactly like `spark-warehouse/`
+    defaults."""
+    import atexit
+    import shutil
+    import tempfile
+
+    conf_dir = spark.conf.get("spark.flatfile.indexDir", None)
+    if conf_dir:
+        return conf_dir.rstrip("/")
+    global _DEFAULT_INDEX_ROOT
+    if _DEFAULT_INDEX_ROOT is None:
+        _DEFAULT_INDEX_ROOT = tempfile.mkdtemp(prefix=f"{prefix}_")
+        atexit.register(shutil.rmtree, _DEFAULT_INDEX_ROOT, True)
+    return _DEFAULT_INDEX_ROOT
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed (or is committing) the version this
     writer tried to claim. The losing commit is cleanly aborted —

@@ -54,6 +54,10 @@ _VERIFY_FIRST = [
     "sim_topk_lsh_multiprobe",
     "sim_recall_audit",  # also r4-stale — doubly due
     "sim_topk_ivf_persisted",
+    # --- NEW round 7 (first verification): incremental near-dup probe
+    # against the SnapshotStore-committed corpus band index with
+    # dynamic partition pruning on the probe scan ---
+    "dedup_incremental_persisted",
     # --- STALENESS ROTATION (round-6 verdict item 1): the remaining
     # 20 queries whose last driver-green row is round 4 — everything
     # else on the surface is r5/r6-green. Grouped by module; order
@@ -108,13 +112,15 @@ _VERIFY_FIRST = [
     "text_langid",
     "text_repetition_ratio",
     "text_source_stats",
-    "text_token_freq",
 ]
 _STABLE_TAIL = [
-    # --- r5-green leftovers: 4 reference-parity basics with dense
-    # pytest coverage (test_social_golden / loader properties) plus
+    # --- r5-green leftovers: text_token_freq yielded its head slot to
+    # the new persisted-band-index entry, plus 4 reference-parity
+    # basics with dense
+    # pytest coverage (test_social_golden / loader properties) and
     # the 19 r5 rows bench smokes every round — they LEAD the
     # round-8 rotation. ---
+    "text_token_freq",
     "p3_filter_project",
     "p5_point_lookup",
     "p6_p7_trim_strict_cast",

@@ -1467,6 +1467,20 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "corpus_doc_id")
         .distinct()
     )
+    return _inc_best_match(docs, sh, cand)
+
+
+def _inc_best_match(
+    docs: DataFrame, sh: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Shared verify + best-match tail of the incremental near-dup
+    probes: exact-Jaccard the candidate (batch doc, corpus doc)
+    pairs, keep each batch doc's best corpus match at the threshold
+    (ties to the lowest corpus id), and left-join the full batch so
+    non-matching docs report 'unique'. The window partitions by
+    batch doc — batch-sized state, never corpus-sized."""
+    from pyspark.sql import Window
+
     shb = sh.select(F.col("doc_id"), F.col("shingles").alias("sh_new"))
     shc = sh.select(
         F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_old")
@@ -1510,6 +1524,113 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted corpus band index: sim_topk_ivf_persisted's pattern on the
+# text-dedup front (round-6 verdict item 6). The (band_key → corpus
+# doc) index every incremental-probe docstring gestures at is
+# COMMITTED through SnapshotStore — a durable, versioned artifact with
+# an fsync'd manifest, not a session cache — hive-partitioned by a
+# 64-way band bucket and range-clustered by band_key within each
+# bucket (file min/max footers carve the key space). The probe reads
+# the committed files with Dynamic Partition Pruning off the broadcast
+# batch join: only the bucket directories the batch's band keys hash
+# into are listed, so a trickle ingest against a 100 TB corpus index
+# touches a sliver of it and the corpus is never re-paired against
+# itself. Same answer set as dedup_incremental_minhash (identical cap,
+# verify, best-match), so it shares that oracle.
+# ---------------------------------------------------------------------------
+BAND_INDEX_BUCKETS = 64
+
+_BAND_INDEX_CACHE: dict[tuple[str, str], tuple[list, "object"]] = {}
+
+
+def _band_bucket(key: Column) -> Column:
+    """Low-cardinality hive-partition column for the committed index:
+    band_key is already an xxhash64, so a pmod is a uniform 64-way
+    split (pmod, not %, for the negative half of the hash space)."""
+    return F.pmod(key, F.lit(BAND_INDEX_BUCKETS)).cast("int")
+
+
+def _band_index_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit the corpus band index once per (application, sf_dir)
+    and return the read-back DataFrame (corpus_doc_id, band_key,
+    band_bucket). Layout: ``partition_by band_bucket`` (the DPP prune
+    unit) composed with ``cluster_by band_key`` (disjoint key ranges
+    per file → footer min/max skipping for point probes). The read
+    passes the written schema explicitly so an empty corpus (zero
+    files, zero partition dirs) is an empty scan instead of a schema-
+    inference failure — the same contract as the persisted IVF index.
+    Store location policy is ``plans.snapshots.index_root``."""
+    import hashlib
+
+    from ..plans.snapshots import SnapshotStore, index_root
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BAND_INDEX_CACHE:
+        digest = hashlib.sha256("\x00".join(key).encode()).hexdigest()[:16]
+        root = f"{index_root(spark, 'band_index')}/band_{digest}"
+        store = SnapshotStore(spark, root)
+        corpus = (
+            _band_table(_shingle_arrays(spark, sf_dir))
+            .filter(F.col("doc_id") < N_OLD)
+            .select(
+                F.col("doc_id").alias("corpus_doc_id"),
+                "band_key",
+                _band_bucket(F.col("band_key")).alias("band_bucket"),
+            )
+        )
+        store.commit(
+            {"band_index": corpus},
+            partition_by={"band_index": ["band_bucket"]},
+            cluster_by={"band_index": (["band_key"], 2)},
+        )
+        _BAND_INDEX_CACHE[key] = (
+            store.tables()["band_index"],
+            corpus.schema,
+        )
+    paths, schema = _BAND_INDEX_CACHE[key]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+@query("dedup_incremental_persisted", oracle=_inc_minhash_oracle())
+def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental_minhash`` probing the COMMITTED corpus band
+    index instead of the session-cached band table: identical results
+    (it shares the oracle — same hot-bucket cap, Jaccard verify, and
+    best-match tail), but the corpus side is the durable SnapshotStore
+    artifact and the probe scan carries a ``dynamicpruning`` subquery
+    on band_bucket (pinned in tests/test_dedup.py) — only the bucket
+    directories the batch actually hashes into are read.
+
+    Scale posture: the index is written once per corpus version
+    (an offline job exactly like the IVF build); each ingest batch is
+    one map-only Arrow signature pass + one broadcast probe join, so
+    probe cost is O(batch × bucket hit rate) against committed files
+    — the never-re-dedup-the-corpus shape with the durability story
+    attached. The hot-bucket filter needs only the BATCH side: a
+    candidate pair requires band_key equality, so dropping hot keys
+    from the probe side alone keeps the scan side filter-free (and
+    DPP-eligible) while producing the exact capped candidate set."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = _shingle_arrays(spark, sf_dir)
+    idx = _band_index_committed(spark, sf_dir)
+    batch = (
+        _band_table(sh)
+        .filter(F.col("doc_id") >= N_OLD)
+        .join(F.broadcast(_hot_band_keys(spark, sf_dir)), "band_key", "left_anti")
+        .withColumn("band_bucket", _band_bucket(F.col("band_key")))
+    )
+    cand = (
+        idx.join(
+            F.broadcast(batch.select("doc_id", "band_key", "band_bucket")),
+            ["band_bucket", "band_key"],
+        )
+        .select("doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    return _inc_best_match(docs, sh, cand)
 
 
 # ---------------------------------------------------------------------------

@@ -1559,30 +1559,6 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict[tuple[str, str], tuple[str, "object"]] = {}
 
 
-def _index_root(spark: SparkSession, prefix: str) -> str:
-    """Root directory for persisted index artifacts. Configurable via
-    ``spark.flatfile.indexDir`` — on a real cluster set it to shared
-    storage (HDFS/S3) so every executor sees the same files; the
-    default (a driver-local temp dir, removed at interpreter exit) is
-    a LOCAL-MODE convenience only, exactly like `spark-warehouse/`
-    defaults."""
-    import atexit
-    import shutil
-    import tempfile
-
-    conf_dir = spark.conf.get("spark.flatfile.indexDir", None)
-    if conf_dir:
-        return conf_dir.rstrip("/")
-    global _DEFAULT_INDEX_ROOT
-    if _DEFAULT_INDEX_ROOT is None:
-        _DEFAULT_INDEX_ROOT = tempfile.mkdtemp(prefix=f"{prefix}_")
-        atexit.register(shutil.rmtree, _DEFAULT_INDEX_ROOT, True)
-    return _DEFAULT_INDEX_ROOT
-
-
-_DEFAULT_INDEX_ROOT: str | None = None
-
-
 def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the IVF lists (vec_id, embedding, nrm, partitioned by
     cell) once per (application, sf_dir) — the offline index build —
@@ -1610,8 +1586,10 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
         )
         lists = asn.join(fullv, "vec_id")
+        from ..plans.snapshots import index_root
+
         digest = hashlib.sha256("\x00".join(key).encode()).hexdigest()[:16]
-        path = f"{_index_root(spark, 'ivf_index')}/ivf_{digest}"
+        path = f"{index_root(spark, 'ivf_index')}/ivf_{digest}"
         lists.write.mode("overwrite").partitionBy("cell").parquet(path)
         _IVF_INDEX_CACHE[key] = (path, lists.schema)
     path, schema = _IVF_INDEX_CACHE[key]

@@ -546,6 +546,68 @@ def test_incremental_minhash_classifies_batch(spark, tmp_path_factory):
     assert out[451]["matched_doc_id"] is None
 
 
+def test_incremental_persisted_matches_session_path_and_prunes(
+    spark, tmp_path_factory
+):
+    """The SnapshotStore-committed band index: (a) the persisted probe
+    returns row-identical results to the session-cache formulation,
+    (b) the index scan carries a `dynamicpruning` subquery on
+    band_bucket, (c) pruning is STRICT — a 2-doc ingest batch probes
+    at most 32 band keys, so its bucket set cannot cover all 64
+    partition directories — and (d) the artifact is a real versioned
+    store commit (manifest present, version 1)."""
+    import os
+
+    from flat_file_social_media_database_engine_spark.plans.snapshots import (
+        SnapshotStore,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (10, BASE, "en", "s", 1),
+        (11, "some other corpus text about different things entirely "
+             "with many extra words to shingle", "en", "s", 1),
+        (450, BASE.replace("warm", "cold"), "en", "s", 1),
+        (451, "completely novel content nothing like anything else "
+              "in the corpus at all whatsoever", "en", "s", 1),
+    ]
+    d = tmp_path_factory.mktemp("incpersist")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = D.dedup_incremental_persisted(spark, str(d))
+    want = D.dedup_incremental_minhash(spark, str(d))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "band_bucket" in plan and "IN dynamicpruning" in plan, plan[:2000]
+
+    # strict pruning: 2 batch docs x 16 bands <= 32 band keys < 64 dirs
+    batch_buckets = (
+        D._band_table(D._shingle_arrays(spark, str(d)))
+        .filter(F.col("doc_id") >= D.N_OLD)
+        .select(D._band_bucket(F.col("band_key")))
+        .distinct()
+        .count()
+    )
+    assert batch_buckets < D.BAND_INDEX_BUCKETS
+    # corpus side spans >1 bucket, so some directories are never read
+    idx = D._band_index_committed(spark, str(d))
+    assert idx.select("band_bucket").distinct().count() > batch_buckets // 16
+
+    # durable artifact: a versioned SnapshotStore with fsync'd manifest
+    paths, _ = D._BAND_INDEX_CACHE[
+        (spark.sparkContext.applicationId, str(d))
+    ]
+    root = os.path.dirname(os.path.dirname(paths[0]))
+    store = SnapshotStore(spark, root)
+    assert store.current_version() == 1
+    assert "band_index" in store.tables()
+
+
 def test_hot_bucket_cap_bounds_boilerplate_blowup(spark, tmp_path_factory):
     """A boilerplate cluster (200 identical docs -> identical MinHash
     signatures -> 16 hot buckets) must NOT quadratically explode the
