@@ -1164,6 +1164,16 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def lsh_pairs_oracle_sql() -> str:
+    """The verified LSH pair set as a standalone DuckDB query —
+    consumed by tools/selfcheck.py's union-find CC replay at large
+    corpora: the pair GENERATION stays the engine-independent oracle
+    CTE chain below; only the transitive closure (which DuckDB's
+    recursive CTE re-derives in O(E·diameter) — ~20 min solo at
+    500k docs, see SCALING.md) is folded by an O(E·α) union-find."""
+    return f"{_lsh_pairs_ctes()}\n    SELECT doc_id_a, doc_id_b FROM lsh_pairs"
+
+
 def _cc_ctes() -> str:
     # Recursive-transitive-closure CTE chain ending in ``lab``
     # (doc_id, cluster_id) — shared by the clustering oracle and the

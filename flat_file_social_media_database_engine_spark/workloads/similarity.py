@@ -87,8 +87,12 @@ _HYPERPLANES_EXT = [
 # way float log2 could. e=0 below 4096 vectors ⇒ the driver fixtures
 # (200 / 2k vectors) use exactly the round-5 bucket key. At e=7 the
 # key is 14 bits (16k buckets/table, good to ~2M vectors); past that
-# a real deployment regenerates with wider LSH_BITS — the ladder is
-# the adaptive range a fixed signature table can serve.
+# a deployment REGENERATES the signature table at a wider base width
+# — implemented in ``regenerated_keyed_sigs`` /
+# ``sim_neardup_regenerated`` below (round-7: the seam's tested
+# answer, planted-recall-pinned in tests/test_similarity.py) — the
+# ladder is the adaptive range one fixed signature table can serve
+# between regenerations.
 _EXT_BASE = 4096
 
 
@@ -964,6 +968,111 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_corpus_signatures`` / ``_neardup_pairs_shared``) and shared
     with the sibling LSH top-k and semantic-dedup queries."""
     return _neardup_pairs_shared(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Signature REGENERATION — what happens past the ext ladder's ceiling
+# (e=7, ~2M vectors): the fixed 448-plane family can't widen further,
+# so the deployment generates a FRESH family at a wider base width
+# and rebuilds the signature table — an offline job exactly like the
+# IVF index build, amortized over the ingest that grew the corpus
+# past the ceiling. Seeded by the target width, so every regeneration
+# at the same width is reproducible from source text; planted-recall
+# behavior is pinned in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+def _regen_planes(bits: int) -> list[tuple[int, int, list[float]]]:
+    """Fresh gaussian hyperplane family for a regenerated signature
+    table: LSH_TABLES × ``bits`` planes, seed derived from the width
+    (a regeneration is a NEW family by design — reusing the old
+    planes would just reproduce the saturated buckets)."""
+    rng = random.Random(0x4E6E17 ^ bits)
+    return [
+        (t, b, [round(rng.gauss(0.0, 1.0), 6) for _ in range(_DIM)])
+        for t in range(LSH_TABLES)
+        for b in range(bits)
+    ]
+
+
+def regenerated_keyed_sigs(
+    vecs: DataFrame, id_col: str, bits: int
+) -> DataFrame:
+    """(id, t, k): bucket keys from a regenerated ``bits``-wide plane
+    family — the same map-only Arrow matmul as ``_signatures``,
+    parameterized on width. One numpy matmul per batch regardless of
+    ``bits``; no join, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _regen_planes(bits)
+    H = np.array([h for _, _, h in planes], dtype=np.float64)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig_tables(emb):
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        bs = (V @ H.T) >= 0  # (n, T*bits)
+        ks = (bs.reshape(len(V), LSH_TABLES, bits) * weights).sum(axis=2)
+        return pd.Series(list(ks))
+
+    return vecs.select(
+        F.col(id_col), F.posexplode(sig_tables("embedding")).alias("t", "k")
+    )
+
+
+def sim_neardup_regenerated(
+    spark: SparkSession, sf_dir: str, bits: int
+) -> DataFrame:
+    """The near-dup pair front on a REGENERATED ``bits``-wide
+    signature table: same hot-bucket cap, same exact re-score at the
+    shared threshold — only the bucket key family differs. Not a
+    driver query (the registered front's adaptive ladder covers every
+    fixture scale); this is the tested code path a >2M-vector corpus
+    switches to, wired so the swap is one width argument."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
+    )
+    sigs = regenerated_keyed_sigs(
+        emb.select("vec_id", "embedding"), "vec_id", bits
+    )
+    hot = (
+        sigs.groupBy("t", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > _EMB_BUCKET_CAP)
+        .select("t", "k")
+    )
+    sigs_c = sigs.join(F.broadcast(hot), ["t", "k"], "left_anti")
+    cand = (
+        sigs_c.select("t", "k", F.col("vec_id").alias("vec_id_a"))
+        .join(
+            sigs_c.select("t", "k", F.col("vec_id").alias("vec_id_b")),
+            ["t", "k"],
+        )
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            _cos(_dot("ea", "eb"), F.col("na") * F.col("nb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )
 
 
 # ---------------------------------------------------------------------------

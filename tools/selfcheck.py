@@ -56,6 +56,56 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(payload).hexdigest()
 
 
+# Past this corpus size, dedup_clusters' recursive-CTE closure replay
+# is the battery bottleneck (~20 min solo at 500k docs, SCALING.md);
+# the union-find replay below folds the SAME oracle-derived pair set
+# in seconds. Below it, the recursive CTE runs as-is — parity with
+# the exact oracle text the driver executes at sf0.01.
+CC_UNIONFIND_MIN_DOCS = 10_000
+
+
+def _cc_unionfind(con) -> pd.DataFrame:
+    """Engine-independent replay of the ``dedup_clusters`` contract
+    for large corpora: the verified pair set still comes from the
+    DuckDB oracle CTE chain (``lsh_pairs_oracle_sql`` — zero Spark
+    involvement), and the transitive closure is a path-compressed
+    union-find with min-label semantics (cluster_id = least doc_id
+    reachable, itself if unpaired) — exactly the recursive CTE's
+    ``lab`` definition, O(E·α) instead of O(E·diameter)."""
+    from flat_file_social_media_database_engine_spark.workloads.dedup import (
+        lsh_pairs_oracle_sql,
+    )
+
+    pairs = con.sql(lsh_pairs_oracle_sql()).df()
+    docs = con.sql("SELECT doc_id FROM documents ORDER BY doc_id").df()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_id_a"].tolist(), pairs["doc_id_b"].tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-label union
+
+    ids = docs["doc_id"].tolist()
+    labels = [find(int(i)) for i in ids]
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "cluster_id": pd.Series(labels, dtype="int64"),
+        }
+    )
+    out["is_canonical"] = out["doc_id"] == out["cluster_id"]
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -90,7 +140,15 @@ def main() -> int:
             print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            if (
+                name == "dedup_clusters"
+                and con.sql("SELECT count(*) FROM documents").fetchone()[0]
+                > CC_UNIONFIND_MIN_DOCS
+            ):
+                print("  (dedup_clusters closure via union-find replay)")
+                odf = _cc_unionfind(con)
+            else:
+                odf = con.sql(oracles[name]).df()
         except Exception as ex:
             failed.append((name, f"oracle error: {ex}"))
             print(f"FAIL {name}: oracle error: {ex}")
