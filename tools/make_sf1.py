@@ -95,6 +95,18 @@ def _replicate(con, table: str, select_k: str) -> None:
 def main() -> int:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    # a 1000-replica tier chains 1000 UNION ALL branches — DuckDB's
+    # default parser depth (1000) trips just under it (found building
+    # the sf100 tier); the chain is shallow in planning terms, only
+    # the parse is nested
+    con.execute("SET max_expression_depth TO 25000")
+    # COPY preserves insertion order by default, which BUFFERS the
+    # whole union before writing — at 1000 replicas that is 600M
+    # lineitem rows (~100 GB resident, observed). Replica order is
+    # irrelevant to every consumer (Spark scans are unordered), so
+    # stream the write instead.
+    con.execute("SET preserve_insertion_order TO false")
+    con.execute("SET memory_limit TO '24GB'")
 
     for dim in ("region", "nation", "part", "supplier"):
         _copy(con, dim)

@@ -96,6 +96,11 @@ SF1_SET = [
     # point (sharded offsets machinery replacing the per-source
     # monolithic window).
     "docs_pack_sequences",
+    # round-7 addition: the committed-band-index probe — the index
+    # BUILD grows with the corpus (one-off per session, amortized),
+    # the probe itself is batch-bound; a data-bound point shows which
+    # term the wall tracks.
+    "dedup_incremental_persisted",
 ]
 
 # Decade 2 (sf1 -> sf10, tools/make_sf1.py 100 replicas: 60M lineitem
