@@ -107,6 +107,8 @@ def main() -> int:
     # stream the write instead.
     con.execute("SET preserve_insertion_order TO false")
     con.execute("SET memory_limit TO '24GB'")
+    # spill beside the output, not into the caller's cwd
+    con.execute(f"SET temp_directory TO '{OUT}/.duck_tmp'")
 
     for dim in ("region", "nation", "part", "supplier"):
         _copy(con, dim)
