@@ -33,6 +33,20 @@ def build_session(app_name: str = "flat-file-engine-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle WIDE and let AQE coalesce down to the
+        # data: with the reducer count pinned at `cpus`, a 10x data
+        # step grows every shuffle partition 10x until it overflows
+        # execution memory — measured at the sf100 tier (5M docs):
+        # docs_strip_dup_spans' gram shuffle went 14x on 10x data,
+        # all of it TaskMemoryManager page-allocation retries and
+        # sort spills. 512 initial partitions keep partitions
+        # memory-sized through ~100x the bench tier while AQE's
+        # 64MB advisory target coalesces small tiers back to a
+        # handful of tasks (same effective parallelism as before).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "512",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -1021,14 +1021,18 @@ def regenerated_keyed_sigs(
 
 
 def sim_neardup_regenerated(
-    spark: SparkSession, sf_dir: str, bits: int
+    spark: SparkSession, sf_dir: str, bits: int, cap: int = _EMB_BUCKET_CAP
 ) -> DataFrame:
     """The near-dup pair front on a REGENERATED ``bits``-wide
-    signature table: same hot-bucket cap, same exact re-score at the
-    shared threshold — only the bucket key family differs. Not a
-    driver query (the registered front's adaptive ladder covers every
-    fixture scale); this is the tested code path a >2M-vector corpus
-    switches to, wired so the swap is one width argument."""
+    signature table: same hot-bucket cap policy (``cap`` defaults to
+    the shared constant; a deployment re-tunes it with the width —
+    candidate volume is bounded by (rows/cap)·C(cap,2), linear in
+    rows at fixed cap, so cap picks the shuffle budget), same exact
+    re-score at the shared threshold — only the bucket key family
+    differs. Not a driver query (the registered front's adaptive
+    ladder covers every fixture scale); this is the tested code path
+    a >2M-vector corpus switches to, wired so the swap is one width
+    argument."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
@@ -1039,7 +1043,7 @@ def sim_neardup_regenerated(
     hot = (
         sigs.groupBy("t", "k")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > _EMB_BUCKET_CAP)
+        .filter(F.col("c") > cap)
         .select("t", "k")
     )
     sigs_c = sigs.join(F.broadcast(hot), ["t", "k"], "left_anti")
