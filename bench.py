@@ -73,6 +73,10 @@ HEADLINE = [
     "sim_recall_audit",  # r6: per-decile recall of lsh/multiprobe/ivf vs brute
     "dedup_incremental_persisted",  # r7: ingest probe of the SnapshotStore-
     # committed band index (DPP on the probe scan; cold pass pays the build)
+    "dedup_prefix_jaccard",  # r7: prefix-filtered EXACT Jaccard join (PPJoin)
+    "dedup_pagerank",  # r7: fixed-point PageRank over the near-dup graph
+    "sim_pca_project",  # r7: distributed PCA, integer-exact power iteration
+    "sim_modality_coverage",  # r7: corpus<->embedding full-outer coverage audit
 ]
 
 # Streaming entries whose WARM number is a sink re-read under session

@@ -48,6 +48,21 @@ def build_session(app_name: str = "flat-file-engine-spark") -> SparkSession:
             "512",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce CACHED plans too (default false keeps a
+        # cached plan's pre-AQE partitioning "stable" for reuse):
+        # with initialPartitionNum=512, every materialize() cache
+        # would otherwise pin 512 partitions, and an ITERATIVE
+        # consumer pays them again per round — measured on
+        # dedup_pagerank at sf0.01: 8 iterations over a persisted
+        # 47-node edge table ran 512-1024-task stages per round,
+        # 307s wall; with AQE allowed to re-partition the cached
+        # plan the same query is seconds. Output partitioning of a
+        # cache is not part of any query contract here (the
+        # partition-invariance suite pins RESULTS, not layouts).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Fixture events.parquet carries TIMESTAMP(NANOS) which the

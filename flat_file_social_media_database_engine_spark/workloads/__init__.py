@@ -50,6 +50,14 @@ _VERIFY_FIRST = [
     # and the recall audit composes both, so all three must re-verify
     # under the new plans/oracles; the persisted-IVF probe moved from
     # a collected isin literal to Dynamic Partition Pruning. ---
+    # --- NEW this session (first verification): prefix-filtered
+    # exact Jaccard join (PPJoin-style), fixed-point PageRank
+    # centrality over the verified near-dup graph, and distributed
+    # PCA (integer-exact power iteration). ---
+    "dedup_prefix_jaccard",
+    "dedup_pagerank",
+    "sim_pca_project",
+    "sim_modality_coverage",
     "sim_topk_lsh",
     "sim_topk_lsh_multiprobe",
     "sim_recall_audit",  # also r4-stale — doubly due
@@ -108,12 +116,15 @@ _VERIFY_FIRST = [
     "sample_stratified",
     "text_bpe_token_count",
     "text_commonness_score",
+]
+_STABLE_TAIL = [
+    # --- displaced from the head by the four new round-7 queries
+    # (window holds exactly 50): r5-green, bench-smoked via their
+    # modules' shared passes; they join the round-8 rotation lead. ---
     "text_fingerprint",
     "text_langid",
     "text_repetition_ratio",
     "text_source_stats",
-]
-_STABLE_TAIL = [
     # --- r5-green leftovers: text_token_freq yielded its head slot to
     # the new persisted-band-index entry, plus 4 reference-parity
     # basics with dense

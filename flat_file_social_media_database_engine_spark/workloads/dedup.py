@@ -167,17 +167,26 @@ def _shingles_udf():
 
     return sh
 
+# ``sh`` and ``sizes`` are MATERIALIZED: DuckDB inlines CTE
+# references by default, and the consumers below reference the
+# shingle pass up to four times (g, both verification sides, sizes)
+# — each inlined reference re-runs tokenize+shingle over the corpus.
+# Materializing the ARRAY form (one row per doc — the same compact
+# shape the Spark side persists in ``_shingle_arrays``) makes every
+# ``e`` reference a cheap re-unnest of cached arrays; measured on
+# dedup_graph_stats' oracle at sf0.1: 95 s → seconds for the
+# identical 1-row result. Execution hint only — results unchanged.
 _DOC_SHINGLES_SQL = f"""
     WITH tok AS (
       SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok
     ),
     e AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
     ),
-    sizes AS (
+    sizes AS MATERIALIZED (
       SELECT doc_id, count(*) AS n_shingles FROM e GROUP BY doc_id
     )
 """
@@ -384,6 +393,143 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Prefix-filtered EXACT Jaccard join (PPJoin-style, Chaudhuri et al.
+# ICDE'06 / Xiao et al. WWW'08): the exact-answer scale path that
+# sits between the all-pairs inverted-index baseline above and the
+# approximate MinHash front below. Key fact: if J(A,B) >= t then
+# |A∩B| >= t·max(|A|,|B|), so under ANY global total order of
+# shingles the two docs must share a shingle inside each one's first
+# n - ceil(t·n) + 1 shingles ("prefix"). Candidates therefore come
+# ONLY from joining prefixes — with the order chosen rarest-first
+# (ascending document frequency), the joined keys are the corpus's
+# LOW-df shingles, so bucket sizes stay small exactly where the
+# inverted-index join explodes (a stopword shingle with df = 1M
+# contributes 5·10^11 candidate rows there; here it is joined only
+# by the docs for which it falls inside the ~0.3·n rarest prefix).
+# Recall is 1.0 BY THEOREM (unlike LSH's s-curve) — which the oracle
+# enforces: it computes the all-pairs answer with no prefix logic,
+# so a dropped true pair is a hash mismatch, not a tuning note.
+# ---------------------------------------------------------------------------
+PREFIX_TAU_NUM, PREFIX_TAU_DEN = 7, 10  # t = 0.7, kept integer-exact
+
+
+@query(
+    "dedup_prefix_jaccard",
+    oracle=f"""
+    {_DOC_SHINGLES_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, common,
+           na.n_shingles AS n_a, nb.n_shingles AS n_b,
+           common / (na.n_shingles + nb.n_shingles - common) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.doc_id = doc_id_a
+    JOIN sizes nb ON nb.doc_id = doc_id_b
+    WHERE {PREFIX_TAU_DEN} * common
+          >= {PREFIX_TAU_NUM} * (na.n_shingles + nb.n_shingles - common)
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 pairs via prefix filtering — same output
+    contract as ``dedup_ngram_jaccard`` (at the higher threshold) but
+    a fundamentally different candidate generator.
+
+    Plan shape: (1) shingle document frequencies — one map-combined
+    groupBy on the shared shingle pass; (2) rank each doc's shingles
+    rarest-first — a window partitioned by ``doc_id`` (data-keyed,
+    high-cardinality: every partition is one document's shingle set,
+    bounded by doc length, never by corpus size); (3) join ONLY the
+    prefix rows on shingle, guarded by the size filter
+    (t·max(n_a,n_b) <= min — integer-exact as 7·max <= 10·min);
+    (4) verify the small distinct candidate set against the cached
+    shingle ARRAYS with ``array_intersect`` — the same no-second-
+    index-pass verification as ``dedup_minhash_lsh``. All arithmetic
+    that gates rows is integer (prefix length n - ceil(7n/10) + 1 is
+    ``n - (7n+9) div 10 + 1``; the threshold test is
+    ``10·common >= 7·(n_a+n_b-common)``), so both engines agree
+    bit-for-bit; the reported ``jaccard`` double is a single divide
+    of exact integers.
+
+    Scale posture: two data-sized shuffles (df groupBy; the doc_id
+    window) plus the prefix self-join whose keys are low-df by
+    construction. The classic refinement ladder from here —
+    positional filtering and suffix filtering (PPJoin+) — prunes
+    candidates further without changing this plan's shape."""
+    sh = _shingle_arrays(spark, sf_dir)
+    e = sh.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        F.size("shingles").cast("bigint").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("s_df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s_df", "s")
+    prefix = (
+        e.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(
+                f"({PREFIX_TAU_NUM} * n + {PREFIX_TAU_DEN - 1}) "
+                f"div {PREFIX_TAU_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "n", "s")
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n").alias("pn_a"), "s"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n").alias("pn_b"), "s"
+    )
+    cand = (
+        pa.join(pb, "s")
+        .filter(
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (
+                PREFIX_TAU_NUM * F.greatest("pn_a", "pn_b")
+                <= PREFIX_TAU_DEN * F.least("pn_a", "pn_b")
+            )
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sha = sh.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    )
+    shb = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sha, "doc_id_a")
+        .join(shb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("common"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
+        )
+        .filter(
+            PREFIX_TAU_DEN * F.col("common")
+            >= PREFIX_TAU_NUM * (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + banded LSH: the 100 TB near-dup path. Candidates come only
 # from equal (band, band_key) buckets; exact Jaccard verifies them.
 # ---------------------------------------------------------------------------
@@ -585,13 +731,13 @@ def _lsh_pairs_ctes() -> str:
     sig AS (
       SELECT doc_id, {band_keys} FROM sigm
     ),
-    bands AS ({band_rows}),
+    bands AS MATERIALIZED ({band_rows}),
     bands_ok AS (
       SELECT band, band_key FROM bands
       GROUP BY band, band_key
       HAVING count(*) <= {HOT_BUCKET_CAP}
     ),
-    capped AS (
+    capped AS MATERIALIZED (
       SELECT b.* FROM bands b
       JOIN bands_ok k ON k.band = b.band AND k.band_key = b.band_key
     ),
@@ -608,7 +754,7 @@ def _lsh_pairs_ctes() -> str:
       JOIN e eb ON eb.doc_id = c.doc_id_b AND eb.s = ea.s
       GROUP BY 1, 2
     ),
-    lsh_pairs AS (
+    lsh_pairs AS MATERIALIZED (
       SELECT v.doc_id_a, v.doc_id_b, v.common,
              na.n_shingles AS n_a, nb.n_shingles AS n_b,
              v.common / (na.n_shingles + nb.n_shingles - v.common) AS jaccard
@@ -2034,15 +2180,15 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_graph_stats",
     oracle=f"""
     {_lsh_pairs_ctes()},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_id_a AS a, doc_id_b AS b FROM lsh_pairs
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT id, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT a AS id FROM edges UNION ALL SELECT b AS id FROM edges)
       GROUP BY id
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT CAST(count(*) AS BIGINT) AS n
       FROM edges e1
       JOIN edges e2 ON e2.a = e1.b
@@ -2116,6 +2262,130 @@ def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the verified near-dup graph — the ranking
+# signal that picks CANONICAL documents in dup clusters by structure
+# rather than by min-id (dedup_clusters) or by quality score
+# (dedup_keep_best): the most-connected member of a clique of mirrors
+# is the one every mirror points at. All arithmetic is FIXED-POINT
+# BIGINT so the iterated sums are order-independent (float PageRank
+# sums would differ in low bits across shuffle orders and engines):
+# ranks carry 1e9 scale, the damping multiply d·x = (17·x) div 20 and
+# the per-edge contribution rank div deg are exact integer ops both
+# engines define identically for the positive values used here.
+# ---------------------------------------------------------------------------
+PR_ITERS = 8
+PR_SCALE = 1_000_000_000  # fixed-point: rank 1.0 == 1e9
+PR_BASE = (3 * PR_SCALE) // 20  # (1-d)·SCALE with d = 17/20 = 0.85
+
+
+def _pagerank_oracle() -> str:
+    # ed/deg are referenced by EVERY unrolled iteration below; without
+    # MATERIALIZED DuckDB inlines each reference and re-evaluates the
+    # whole upstream LSH CTE chain per iteration — measured 265s vs
+    # ~2s at sf0.01 for the identical result.
+    head = f"""
+    {_lsh_pairs_ctes()},
+    edges AS MATERIALIZED (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM lsh_pairs
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM lsh_pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+    ),
+    ed AS MATERIALIZED (
+      SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src
+    ),
+    r0 AS (
+      SELECT src AS doc_id, CAST({PR_SCALE} AS BIGINT) AS rank_fp FROM deg
+    )"""
+    iters = "".join(
+        f""",
+    r{i} AS (
+      SELECT ed.dst AS doc_id,
+             CAST({PR_BASE} + (17 * sum(r.rank_fp // ed.deg)) // 20
+                  AS BIGINT) AS rank_fp
+      FROM ed JOIN r{i - 1} r ON r.doc_id = ed.src
+      GROUP BY 1
+    )"""
+        for i in range(1, PR_ITERS + 1)
+    )
+    return f"""{head}{iters}
+    SELECT r.doc_id, d.deg AS degree, r.rank_fp
+    FROM r{PR_ITERS} r JOIN deg d ON d.src = r.doc_id
+    """
+
+
+@query("dedup_pagerank", oracle=_pagerank_oracle())
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d = 0.85, PR_ITERS = 8 synchronous iterations)
+    on the undirected verified-pair graph; emits (doc_id, degree,
+    rank_fp) for every node in the graph, rank in 1e9 fixed point.
+
+    Plan shape: edges+degrees come off the shared LSH pair
+    materialization (collision-bounded, never corpus-sized as a pair
+    set); the (src, dst, deg) table is materialized ONCE and each
+    iteration is exactly one hash join (ranks ⋈ edges on src — both
+    sides keyed, no broadcast needed at scale) plus one map-combined
+    groupBy(dst) sum: the canonical O(iters) shuffle budget of
+    synchronous PageRank, with nothing driver-side and no lineage
+    recursion (each rank table is consumed exactly once).
+
+    Every node of the pair graph has degree >= 1 and — the graph
+    being undirected — at least one in-edge, so the groupBy re-emits
+    every node each round: no dangling-mass correction term is
+    needed, and total rank mass is exactly conserved up to the
+    per-node floor truncations.
+
+    Overflow headroom: a node's rank is bounded by total mass
+    N·SCALE; 17·(5·10^6·10^9) ≈ 8.5·10^16 << 2^63, so BIGINT holds
+    through ~500M graph nodes at this SCALE — past that a deployment
+    drops SCALE one decade per corpus decade (the same answer ranks
+    are preserved; only resolution shifts), which the oracle mirrors
+    by construction since both read the module constant."""
+    return pagerank_pairs(
+        lsh_pairs_shared(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    )
+
+
+def pagerank_pairs(pairs: DataFrame) -> DataFrame:
+    """The fixed-point PageRank recurrence over an arbitrary
+    undirected (doc_id_a, doc_id_b) pair set — split out so tests can
+    rank planted graph TOPOLOGIES directly (a clean star/chain/clique
+    cannot be forced through the LSH front: set similarity makes a
+    high-J star geometrically impossible)."""
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = materialize(edges.join(deg, "src"))  # (src, dst, deg), reused 8x
+    ranks = deg.select(
+        F.col("src").alias("doc_id"),
+        F.lit(PR_SCALE).cast("bigint").alias("rank_fp"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = ed.join(
+            ranks, ed["src"] == ranks["doc_id"]
+        ).select("dst", F.expr("rank_fp div deg").alias("c"))
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("c").alias("csum"))
+            .select(
+                "doc_id",
+                (F.lit(PR_BASE) + F.expr("(17 * csum) div 20"))
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+        )
+    return ranks.join(
+        deg.select(F.col("src").alias("doc_id"), F.col("deg").alias("degree")),
+        "doc_id",
+    ).select("doc_id", "degree", "rank_fp")
 
 
 # ---------------------------------------------------------------------------

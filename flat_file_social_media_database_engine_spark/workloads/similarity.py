@@ -2517,3 +2517,350 @@ def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_zero"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (power iteration) — the dimensionality lens next to
+# sim_dim_stats' per-dimension moments: ONE principal direction of
+# the embedding cloud, estimated with a fixed-step power iteration,
+# and the corpus profiled by its per-label PC1 projection. The whole
+# path is engine-exact:
+#   1. components quantize to integers (floor(x·1e6 + 0.5) — the same
+#      deterministic double arithmetic in numpy, Spark SQL and
+#      DuckDB), so the second-moment matrix S = Σ q qᵀ and the linear
+#      sums s = Σ q are ORDER-INDEPENDENT integer sums;
+#   2. the scaled covariance C = n·S − s sᵀ and the 10-step power
+#      iteration (renormalized each step to |v|∞ = 1e6 by symmetric-
+#      truncation integer division) run in exact integer arithmetic —
+#      Python arbitrary precision on the Spark side, HUGEINT in the
+#      DuckDB oracle — identical recurrences, identical v;
+#   3. the per-row projection x·(v/1e6) is the module's sequential
+#      fold (bit-identical across engines), and label aggregation
+#      routes the mean through DECIMAL.
+# The 64×64 moment matrix is METADATA-sized: collecting it and
+# iterating driver-side is the same one-row/metadata-collect budget
+# as graph.py's convergence probe — the data-sized work (moment
+# accumulation, projection) is fully distributed.
+# Overflow headroom: |x| ≲ 10 ⟹ q ≲ 1e7, C ≲ n²·1e14, per-step
+# w ≲ 64·C·1e6 ≲ n²·6e21 — HUGEINT (1.7e38) holds past 1e8 rows;
+# beyond that a deployment drops _PCA_QSCALE a decade per corpus
+# decade (same re-tuning note as dedup.PR_SCALE).
+# ---------------------------------------------------------------------------
+_PCA_QSCALE = 1_000_000  # component quantization: 1.0 == 1e6 units
+_PCA_VSCALE = 1_000_000  # eigenvector fixed point: |v|∞ == 1e6
+_PCA_ITERS = 10
+
+
+def _pca_moment_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer moment partials via one Arrow map-only pass:
+    rows (i, j, partial) with i<=j carry the upper triangle of the
+    per-batch Σ q qᵀ, i=-1 rows the per-dimension linear sums, and
+    (-1,-1) the row count. Per-batch int64 bound: Arrow batches are
+    <=10k rows and sub-chunked at 8192, so a partial is
+    <= 8192·(1e7)² ≈ 8·10^17 < 2^63."""
+    import numpy as np
+    import pandas as pd
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
+        .select("embedding")
+    )
+
+    def gen(batches):
+        iu = np.triu_indices(_DIM)
+        for pdf in batches:
+            for lo in range(0, len(pdf), 8192):
+                chunk = pdf["embedding"].iloc[lo : lo + 8192]
+                if not len(chunk):
+                    continue
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in chunk]
+                )
+                Q = np.floor(V * _PCA_QSCALE + 0.5).astype(np.int64)
+                S = Q.T @ Q
+                s = Q.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate(
+                            [iu[0], np.full(_DIM, -1), [-1]]
+                        ).astype(np.int32),
+                        "j": np.concatenate(
+                            [iu[1], np.arange(_DIM), [-1]]
+                        ).astype(np.int32),
+                        "partial": np.concatenate([S[iu], s, [len(Q)]]),
+                    }
+                )
+
+    return emb.mapInPandas(gen, "i int, j int, partial long")
+
+
+def _pca_power(
+    n: int, s: list[int], S: list[list[int]]
+) -> list[int]:
+    """The fixed-point power iteration on exact Python integers —
+    the byte-for-byte twin of the oracle's unrolled HUGEINT CTEs.
+    C = n·S − s sᵀ; each step w = C v, then renormalize to
+    |v|∞ = _PCA_VSCALE by symmetric-truncation division (matching
+    SQL's sign(w)·(|w| // m) — Python's // floors toward −∞, so
+    negatives go through abs())."""
+    d = len(s)
+    C = [
+        [n * S[min(i, j)][max(i, j)] - s[i] * s[j] for j in range(d)]
+        for i in range(d)
+    ]
+    v = [_PCA_VSCALE] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break  # degenerate cloud: keep current v (oracle CASE twin)
+        v = [
+            (-((-x * _PCA_VSCALE) // m) if x < 0 else (x * _PCA_VSCALE) // m)
+            for x in w
+        ]
+    return v
+
+
+def _pca_vector(spark: SparkSession, sf_dir: str) -> list[int] | None:
+    """Collect the metadata-sized moment aggregate and run the
+    driver-side iteration; None on an empty (or all-malformed)
+    embeddings table."""
+    agg = (
+        _pca_moment_rows(spark, sf_dir)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("partial").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    n, s = 0, [0] * _DIM
+    S = [[0] * _DIM for _ in range(_DIM)]
+    for r in agg:
+        i, j, v = int(r["i"]), int(r["j"]), int(r["v"])
+        if i == -1 and j == -1:
+            n = v
+        elif i == -1:
+            s[j] = v
+        else:
+            S[i][j] = v
+    if n == 0:
+        return None
+    return _pca_power(n, s, S)
+
+
+def _pca_oracle() -> str:
+    qexpr = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* {_PCA_QSCALE}.0 + 0.5) AS HUGEINT))"
+    )
+    head = f"""
+    WITH q AS MATERIALIZED (
+      SELECT label, embedding, {qexpr} AS qv
+      FROM embeddings WHERE len(embedding) = {_DIM}
+    ),
+    dims AS (SELECT CAST(range AS INTEGER) AS i FROM range(1, {_DIM} + 1)),
+    nrow AS (SELECT count(*) AS n FROM q),
+    lin AS MATERIALIZED (
+      SELECT d.i, COALESCE(sum(q.qv[d.i]), 0) AS s
+      FROM dims d LEFT JOIN q ON true GROUP BY d.i
+    ),
+    upper_m AS MATERIALIZED (
+      SELECT a.i, b.i AS j, COALESCE(sum(q.qv[a.i] * q.qv[b.i]), 0) AS s2
+      FROM dims a JOIN dims b ON b.i >= a.i LEFT JOIN q ON true
+      GROUP BY a.i, b.i
+    ),
+    cmat AS MATERIALIZED (
+      SELECT u.i, u.j, n.n * u.s2 - sa.s * sb.s AS c
+      FROM upper_m u CROSS JOIN nrow n
+      JOIN lin sa ON sa.i = u.i JOIN lin sb ON sb.i = u.j
+      UNION ALL
+      SELECT u.j, u.i, n.n * u.s2 - sa.s * sb.s
+      FROM upper_m u CROSS JOIN nrow n
+      JOIN lin sa ON sa.i = u.i JOIN lin sb ON sb.i = u.j
+      WHERE u.i < u.j
+    ),
+    v0 AS (SELECT i, CAST({_PCA_VSCALE} AS HUGEINT) AS val FROM dims)"""
+    iters = "".join(
+        f""",
+    w{k} AS MATERIALIZED (
+      SELECT c.i, sum(c.c * v.val) AS w
+      FROM cmat c JOIN v{k - 1} v ON v.i = c.j GROUP BY c.i
+    ),
+    m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+    v{k} AS MATERIALIZED (
+      SELECT w.i,
+             CASE WHEN m.m = 0
+                  THEN (SELECT val FROM v{k - 1} pv WHERE pv.i = w.i)
+                  WHEN w.w < 0
+                  THEN -(((-w.w) * {_PCA_VSCALE}) // m.m)
+                  ELSE (w.w * {_PCA_VSCALE}) // m.m END AS val
+      FROM w{k} w CROSS JOIN m{k} m
+    )"""
+        for k in range(1, _PCA_ITERS + 1)
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM} + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) "
+        f"* (CAST(va.v[i] AS DOUBLE) / {_PCA_VSCALE}.0))), "
+        "(x, y) -> x + y)"
+    )
+    return f"""{head}{iters},
+    varr AS (SELECT list(val ORDER BY i) AS v FROM v{_PCA_ITERS}),
+    proj AS (
+      SELECT q.label, {fold} AS p FROM q CROSS JOIN varr va
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(p) AS proj_min,
+           max(p) AS proj_max,
+           CAST(CAST(sum(CAST(p AS DECIMAL(28,6))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS proj_mean
+    FROM proj
+    GROUP BY label
+    """
+
+
+@query("sim_pca_project", oracle=_pca_oracle())
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label profile of the corpus along its estimated first
+    principal component: (label, n_vecs, proj_min, proj_max,
+    proj_mean). See the section comment for the exactness design; the
+    sign of PC1 is pinned by the deterministic all-ones start vector.
+
+    Plan shape: one Arrow map-only moment pass (4096-partial rows per
+    batch, map-side combined), a metadata-sized collect (2145 rows:
+    the 64×64 upper triangle + 64 sums + count), the driver-side
+    integer iteration, then one map-only projection pass over the
+    embeddings with v embedded as a literal — at 100 TB both
+    data-sized passes are single scans with combiner-sized shuffles,
+    and the iteration cost is independent of the corpus."""
+    v = _pca_vector(spark, sf_dir)
+    if v is None:
+        schema = (
+            "label int, n_vecs bigint, proj_min double, "
+            "proj_max double, proj_mean double"
+        )
+        return spark.createDataFrame([], schema)
+    vlit = F.array(*[F.lit(int(x)) for x in v])
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
+        .select("label", "embedding")
+    )
+    prods = F.zip_with(
+        "embedding",
+        vlit,
+        lambda x, y: x.cast("double")
+        * (y.cast("double") / F.lit(float(_PCA_VSCALE))),
+    )
+    p = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    base = emb.select("label", p.alias("p"))
+    n = F.count(F.lit(1))
+    return base.groupBy("label").agg(
+        n.cast("bigint").alias("n_vecs"),
+        F.min("p").alias("proj_min"),
+        F.max("p").alias("proj_max"),
+        (F.sum(F.col("p").cast("decimal(28,6)")).cast("double") / n)
+        .cast("double")
+        .alias("proj_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modality-coverage audit: the cross-TABLE check a multimodal corpus
+# build runs between its text corpus and its embedding store — every
+# doc should have exactly one embedding, no embedding should point at
+# a deleted doc, and the embeddings that do exist should be healthy
+# (non-degenerate norm). sim_embedding_stats QAs the embedding table
+# in isolation; this audits the JOIN between modalities, which is
+# where ingestion bugs (partial encoder runs, stale re-embeds,
+# orphaned vectors after doc deletes) actually surface.
+# ---------------------------------------------------------------------------
+@query(
+    "sim_modality_coverage",
+    oracle=f"""
+    WITH em AS (
+      SELECT vec_id AS doc_id,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    j AS (
+      SELECT COALESCE(d.source, '(orphan)') AS source,
+             d.doc_id IS NOT NULL AS has_doc,
+             em.doc_id IS NOT NULL AS has_emb,
+             em.nrm
+      FROM documents d FULL OUTER JOIN em ON em.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN has_doc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs,
+           CAST(sum(CASE WHEN has_doc AND has_emb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN has_doc AND NOT has_emb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_embedding,
+           CAST(sum(CASE WHEN has_emb AND NOT has_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_embeddings,
+           CAST(sum(CASE WHEN has_emb AND nrm < {_ZERO_NORM_EPS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           CASE WHEN sum(CASE WHEN has_emb THEN 1 ELSE 0 END) > 0
+                THEN CAST(CAST(sum(CASE WHEN has_emb
+                                        THEN CAST(nrm AS DECIMAL(28,6))
+                                        END) AS DOUBLE)
+                     / sum(CASE WHEN has_emb THEN 1 ELSE 0 END) AS DOUBLE)
+                END AS mean_norm
+    FROM j
+    GROUP BY source
+    """,
+)
+def sim_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source modality coverage: (source, n_docs, n_covered,
+    n_missing_embedding, n_orphan_embeddings, n_zero_norm, mean_norm).
+    Orphan embeddings (no matching doc) group under '(orphan)'.
+
+    Plan shape: ONE full-outer shuffle join keyed on doc_id (both
+    sides data-sized — exactly the join a coverage audit cannot
+    avoid), then a map-side-combined per-source aggregate of flag
+    counts. The norm is the sequential-fold dot (bit-identical across
+    engines); the mean routes through DECIMAL and is NULL for a
+    source with no embeddings (division guarded in both engines)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lit(True).alias("_d")
+    )
+    em = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.sqrt(_norm2("embedding")).alias("nrm"),
+        F.lit(True).alias("_e"),
+    )
+    j = docs.join(em, "doc_id", "full_outer").select(
+        F.coalesce("source", F.lit("(orphan)")).alias("source"),
+        F.coalesce("_d", F.lit(False)).alias("has_doc"),
+        F.coalesce("_e", F.lit(False)).alias("has_emb"),
+        "nrm",
+    )
+    has_doc, has_emb = F.col("has_doc"), F.col("has_emb")
+    n_emb = F.sum(F.when(has_emb, 1).otherwise(0))
+    return j.groupBy("source").agg(
+        F.sum(F.when(has_doc, 1).otherwise(0)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(has_doc & has_emb, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+        F.sum(F.when(has_doc & ~has_emb, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_embedding"),
+        F.sum(F.when(has_emb & ~has_doc, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphan_embeddings"),
+        F.sum(
+            F.when(has_emb & (F.col("nrm") < _ZERO_NORM_EPS), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.when(
+            n_emb > 0,
+            (
+                F.sum(F.when(has_emb, F.col("nrm").cast("decimal(28,6)")))
+                .cast("double")
+                / n_emb
+            ).cast("double"),
+        ).alias("mean_norm"),
+    )

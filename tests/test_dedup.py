@@ -764,3 +764,194 @@ def test_simhash_pairs_planted_neardup(spark, tmp_path_factory):
     assert got == expected
     assert got.get((1, 2)) == 0          # the planted exact dup
     assert not any(4 in p for p in got)  # the unrelated doc
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (dedup_prefix_jaccard)
+# ---------------------------------------------------------------------------
+def _prefix_jaccard_model(texts: list[str], k: int) -> dict:
+    """Pure-Python all-pairs twin of dedup_prefix_jaccard — NO prefix
+    logic, so a prefix-filter false negative in the Spark plan is a
+    dict mismatch here (recall is guaranteed by theorem; this checks
+    the theorem's preconditions survived the implementation)."""
+    import re
+
+    num, den = D.PREFIX_TAU_NUM, D.PREFIX_TAU_DEN
+    ws = re.compile(r"\s+", re.ASCII)
+    sh = {}
+    for d, t in enumerate(texts):
+        toks = ws.split((t or "").strip(" "))
+        if len(toks) >= k:
+            s = set(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+            if s:
+                sh[d] = s
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(sh[a] & sh[b])
+            na, nb = len(sh[a]), len(sh[b])
+            if common and den * common >= num * (na + nb - common):
+                out[(a, b)] = (common, na, nb, common / (na + nb - common))
+    return out
+
+
+def test_prefix_jaccard_planted_pairs(spark, planted_dir):
+    """Exact-dup and 1-word-edit pairs clear t=0.7; the distinct docs
+    (no shared 3-shingles at all) never appear."""
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.dedup_prefix_jaccard(spark, planted_dir).collect()
+    }
+    assert got[(100, 101)] == pytest.approx(1.0)
+    assert (100, 102) in got and got[(100, 102)] >= 0.7
+    assert all(a >= 100 and b >= 100 for a, b in got)
+
+
+def test_prefix_jaccard_survives_hub_shingle(spark, tmp_path_factory):
+    """A boilerplate header shared by EVERY doc (the df-explosion case
+    the prefix order exists for): the common shingles are the most
+    frequent, so they fall OUTSIDE the rarest-first prefixes of the
+    long distinct docs — yet the true near-dup pair, whose similarity
+    lives in its rare tail, must still be found (recall theorem)."""
+    header = "terms of service apply to this document"
+    bodies = [
+        f"unique content {i} about subject {i} variant {i} detail {i}"
+        for i in range(8)
+    ]
+    payload = " ".join(f"rare{i}" for i in range(20))
+    near_a = f"{payload} theta"
+    near_b = f"{payload} iota"
+    rows = [(i, f"{header} {b}", "en", "s", 1) for i, b in enumerate(bodies)]
+    rows += [(50, f"{header} {near_a}", "en", "s", 1),
+             (51, f"{header} {near_b}", "en", "s", 1)]
+    d = tmp_path_factory.mktemp("hubshingle")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r
+        for r in D.dedup_prefix_jaccard(spark, str(d)).collect()
+    }
+    want = _prefix_jaccard_model(texts_by_id(rows), D.SHINGLE_K)
+    assert set(got) == set(want)
+    assert (50, 51) in got  # the rare-tail near-dup survived the filter
+
+
+def texts_by_id(rows) -> list[str]:
+    """Model input indexed by doc_id (rows may be sparse in id)."""
+    m = dict((r[0], r[1]) for r in rows)
+    return [m.get(i, "") for i in range(max(m) + 1)]
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_jaccard_matches_model(spark, tmp_path_factory, texts):
+    """Differential vs the all-pairs Python model on adversarial
+    tiny-alphabet corpora (many identical/near-identical shingle sets,
+    ties in both df and shingle order)."""
+    d = tmp_path_factory.mktemp("prefixprop")
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): (
+            r["common"], r["n_a"], r["n_b"], r["jaccard"]
+        )
+        for r in D.dedup_prefix_jaccard(spark, str(d)).collect()
+    }
+    want = _prefix_jaccard_model(texts, D.SHINGLE_K)
+    assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the verified near-dup graph
+# ---------------------------------------------------------------------------
+def _pagerank_model(pairs: set[tuple[int, int]]) -> dict[int, int]:
+    """Pure-Python replay of the fixed-point recurrence (same SCALE /
+    BASE / damping constants read off the module)."""
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    rank = {n: D.PR_SCALE for n in adj}
+    for _ in range(D.PR_ITERS):
+        contrib = {n: rank[n] // len(adj[n]) for n in adj}
+        rank = {
+            n: D.PR_BASE + (17 * sum(contrib[m] for m in adj[n])) // 20
+            for n in adj
+        }
+    return rank
+
+
+def test_pagerank_matches_python_replay(spark, planted_dir):
+    """Exact differential: the query's fixed-point ranks equal a
+    driver-side replay of the same recurrence over the same verified
+    pair set — any float creep, iteration drift, or missing node
+    breaks integer equality."""
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.dedup_minhash_lsh(spark, planted_dir).collect()
+    }
+    assert pairs, "planted fixture must produce near-dup pairs"
+    want = _pagerank_model(pairs)
+    got = {
+        r["doc_id"]: (r["degree"], r["rank_fp"])
+        for r in D.dedup_pagerank(spark, planted_dir).collect()
+    }
+    assert set(got) == set(want)
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for n, (d_, r_) in got.items():
+        assert d_ == deg[n]
+        assert r_ == want[n], f"node {n}: spark={r_} model={want[n]}"
+
+
+def test_pagerank_star_prefers_hub(spark):
+    """Structure sanity on an injected star graph (a high-J star
+    cannot be planted through the LSH front — set similarity forbids
+    it — so the topology goes straight into ``pagerank_pairs``): the
+    hub out-ranks every leaf, symmetric leaves tie EXACTLY (integer
+    arithmetic, not approximately), and total mass is conserved up to
+    the per-node floor truncations."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["degree"], r["rank_fp"])
+        for r in D.pagerank_pairs(pairs).collect()
+    }
+    assert got[0][0] == 5 and all(got[i][0] == 1 for i in range(1, 6))
+    ranks = {n: r for n, (_, r) in got.items()}
+    assert ranks[0] > ranks[1]
+    assert len({ranks[i] for i in range(1, 6)}) == 1  # exact leaf tie
+    n = len(ranks)
+    assert abs(sum(ranks.values()) - n * D.PR_SCALE) <= D.PR_ITERS * n * 40
+    # replay equality on the injected topology too
+    want = _pagerank_model({(0, i) for i in range(1, 6)})
+    assert ranks == want
+
+
+def test_pagerank_chain_is_symmetric_interior_heavy(spark):
+    """A 5-node path graph: the ranking is symmetric about the center
+    and interior nodes out-rank endpoints. (Which interior node is on
+    TOP depends on iteration parity — synchronous PageRank oscillates
+    on near-bipartite graphs before converging, so the test asserts
+    only parity-independent structure; exact values are pinned by the
+    model-replay equality.)"""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["doc_id"]: r["rank_fp"]
+           for r in D.pagerank_pairs(pairs).collect()}
+    assert got == _pagerank_model({(i, i + 1) for i in range(4)})
+    assert got[1] == got[3] and got[0] == got[4]
+    assert min(got[1], got[2]) > got[0]

@@ -630,3 +630,112 @@ def test_regenerated_front_recovers_recall_past_ladder_ceiling(
         for r in S.sim_neardup_regenerated(spark, str(d), bits=10).collect()
     }
     assert again == pairs
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (sim_pca_project)
+# ---------------------------------------------------------------------------
+def test_pca_power_recovers_dominant_axis():
+    """Pure-integer check of the driver-side iteration: a moment
+    matrix built from vectors spread along axis 7 (centered) must
+    yield v with |v[7]| = VSCALE and every other component tiny."""
+    import random
+
+    rng = random.Random(7)
+    dim = S._DIM
+    vecs = []
+    for _ in range(200):
+        t = rng.uniform(-1.0, 1.0)
+        v = [0.0] * dim
+        v[7] = t
+        v[12] = rng.uniform(-0.01, 0.01)  # faint second direction
+        vecs.append(v)
+    q = [
+        [int(math.floor(x * S._PCA_QSCALE + 0.5)) for x in v] for v in vecs
+    ]
+    n = len(q)
+    s = [sum(r[i] for r in q) for i in range(dim)]
+    Sm = [
+        [sum(r[i] * r[j] for r in q) if j >= i else 0 for j in range(dim)]
+        for i in range(dim)
+    ]
+    v = S._pca_power(n, s, Sm)
+    assert abs(v[7]) == S._PCA_VSCALE
+    assert all(abs(v[i]) < S._PCA_VSCALE // 100 for i in range(dim) if i != 7)
+
+
+def test_pca_project_planted_axis(spark, tmp_path_factory):
+    """End-to-end on a planted 64-dim corpus whose variance lives on
+    one axis: per-label projection stats must equal the per-label
+    stats of the axis coordinate (up to the global PC1 sign, which
+    the deterministic start vector pins)."""
+    dim = S._DIM
+    rows = []
+    for i in range(60):
+        v = [0.0] * dim
+        v[5] = (i % 7) * 0.1 - 0.3  # spread on axis 5
+        rows.append((i, v, i % 2))
+    d = tmp_path_factory.mktemp("pca")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    vec = S._pca_vector(spark, str(d))
+    assert vec is not None
+    assert abs(vec[5]) == S._PCA_VSCALE
+    assert all(abs(vec[i]) < S._PCA_VSCALE // 1000 for i in range(dim) if i != 5)
+
+    sign = 1.0 if vec[5] > 0 else -1.0
+    out = {r["label"]: r for r in S.sim_pca_project(spark, str(d)).collect()}
+    for lab in (0, 1):
+        coords = [r[1][5] for r in rows if r[2] == lab]
+        want_mean = sign * sum(coords) / len(coords)
+        assert out[lab]["n_vecs"] == len(coords)
+        assert out[lab]["proj_mean"] == pytest.approx(want_mean, abs=1e-6)
+        lo, hi = sign * min(coords), sign * max(coords)
+        if lo > hi:
+            lo, hi = hi, lo
+        assert out[lab]["proj_min"] == pytest.approx(lo, abs=1e-6)
+        assert out[lab]["proj_max"] == pytest.approx(hi, abs=1e-6)
+
+
+def test_pca_project_empty_and_malformed(spark, tmp_path_factory):
+    """A table with only wrong-dimension rows must yield an EMPTY
+    result with the contract schema (not a crash in np.stack or a
+    divide-by-zero in the iteration)."""
+    d = tmp_path_factory.mktemp("pcabad")
+    spark.createDataFrame(
+        [(0, [1.0, 2.0], 0), (1, [0.5] * 17, 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = S.sim_pca_project(spark, str(d))
+    assert out.count() == 0
+    assert sorted(out.columns) == [
+        "label", "n_vecs", "proj_max", "proj_mean", "proj_min",
+    ]
+
+
+def test_modality_coverage_planted_gaps(spark, tmp_path_factory):
+    """Planted: doc 2 has no embedding, vec 99 has no doc, vec 1 is
+    zero-norm — every column of the audit must localize its case."""
+    d = tmp_path_factory.mktemp("modcov")
+    dim = S._DIM
+    spark.createDataFrame(
+        [(0, "a text", "en", "s0", 6), (1, "b text", "en", "s0", 6),
+         (2, "c text", "en", "s1", 6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        [(0, [0.5] * dim, 0), (1, [0.0] * dim, 0), (99, [1.0] * dim, 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    out = {r["source"]: r for r in S.sim_modality_coverage(spark, str(d)).collect()}
+    s0, s1, orph = out["s0"], out["s1"], out["(orphan)"]
+    assert (s0["n_docs"], s0["n_covered"], s0["n_missing_embedding"]) == (2, 2, 0)
+    assert s0["n_zero_norm"] == 1  # vec 1 is all-zero
+    assert (s1["n_docs"], s1["n_covered"], s1["n_missing_embedding"]) == (1, 0, 1)
+    assert s1["mean_norm"] is None  # no embeddings in s1
+    assert (orph["n_docs"], orph["n_orphan_embeddings"]) == (0, 1)
+    assert orph["mean_norm"] == pytest.approx(8.0)  # ||1_64|| = 8

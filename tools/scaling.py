@@ -101,6 +101,14 @@ SF1_SET = [
     # the probe itself is batch-bound; a data-bound point shows which
     # term the wall tracks.
     "dedup_incremental_persisted",
+    # round-7 continuation: the prefix join's candidate volume is the
+    # could-go-quadratic term (bounded by the rarest-first order);
+    # pagerank is 8 iterations over a pair graph that grows with the
+    # corpus's duplicate structure.
+    "dedup_prefix_jaccard",
+    "dedup_pagerank",
+    # two map-only passes + a metadata collect: should track the scan
+    "sim_pca_project",
 ]
 
 # Decade 2 (sf1 -> sf10, tools/make_sf1.py 100 replicas: 60M lineitem
@@ -136,6 +144,12 @@ SF10_SET = [
     # canonical-keep rewrite (dedup_span_exact already present).
     "docs_strip_dup_spans",
     "pipeline_dedup_corpus",
+    # round-7 continuation: second data-bound decade for the exact
+    # prefix join, the iterative pagerank (pair-graph bound), and the
+    # PCA moment/projection passes.
+    "dedup_prefix_jaccard",
+    "dedup_pagerank",
+    "sim_pca_project",
 ]
 
 
