@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_pagerank",  # r7: fixed-point PageRank over the near-dup graph
     "sim_pca_project",  # r7: distributed PCA, integer-exact power iteration
     "sim_modality_coverage",  # r7: corpus<->embedding full-outer coverage audit
+    "dedup_keep_central",  # r7: centrality canonical-picker (CC ∘ PageRank)
 ]
 
 # Streaming entries whose WARM number is a sink re-read under session

@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     # PCA (integer-exact power iteration). ---
     "dedup_prefix_jaccard",
     "dedup_pagerank",
+    "dedup_keep_central",
     "sim_pca_project",
     "sim_modality_coverage",
     "sim_topk_lsh",
@@ -115,12 +116,12 @@ _VERIFY_FIRST = [
     "s7_multiformat_union",
     "sample_stratified",
     "text_bpe_token_count",
-    "text_commonness_score",
 ]
 _STABLE_TAIL = [
-    # --- displaced from the head by the four new round-7 queries
+    # --- displaced from the head by the five new round-7 queries
     # (window holds exactly 50): r5-green, bench-smoked via their
     # modules' shared passes; they join the round-8 rotation lead. ---
+    "text_commonness_score",
     "text_fingerprint",
     "text_langid",
     "text_repetition_ratio",

@@ -1328,7 +1328,7 @@ def _cc_ctes() -> str:
     assert body.startswith("WITH ")
     return f"""
     WITH RECURSIVE {body[len("WITH "):]},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_id_a AS a, doc_id_b AS b FROM lsh_pairs
       UNION ALL
       SELECT doc_id_b, doc_id_a FROM lsh_pairs
@@ -2281,8 +2281,30 @@ PR_SCALE = 1_000_000_000  # fixed-point: rank 1.0 == 1e9
 PR_BASE = (3 * PR_SCALE) // 20  # (1-d)·SCALE with d = 17/20 = 0.85
 
 
+def _pagerank_iter_ctes() -> str:
+    """The r0..r{PR_ITERS} recurrence chain — requires upstream CTEs
+    ``deg(src, deg)`` and ``ed(src, dst, deg)``. Shared by the
+    standalone pagerank oracle and the keep-central composition so
+    the recurrence definition can never drift."""
+    head = f""",
+    r0 AS (
+      SELECT src AS doc_id, CAST({PR_SCALE} AS BIGINT) AS rank_fp FROM deg
+    )"""
+    return head + "".join(
+        f""",
+    r{i} AS (
+      SELECT ed.dst AS doc_id,
+             CAST({PR_BASE} + (17 * sum(r.rank_fp // ed.deg)) // 20
+                  AS BIGINT) AS rank_fp
+      FROM ed JOIN r{i - 1} r ON r.doc_id = ed.src
+      GROUP BY 1
+    )"""
+        for i in range(1, PR_ITERS + 1)
+    )
+
+
 def _pagerank_oracle() -> str:
-    # ed/deg are referenced by EVERY unrolled iteration below; without
+    # ed/deg are referenced by EVERY unrolled iteration; without
     # MATERIALIZED DuckDB inlines each reference and re-evaluates the
     # whole upstream LSH CTE chain per iteration — measured 265s vs
     # ~2s at sf0.01 for the identical result.
@@ -2298,22 +2320,8 @@ def _pagerank_oracle() -> str:
     ),
     ed AS MATERIALIZED (
       SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src
-    ),
-    r0 AS (
-      SELECT src AS doc_id, CAST({PR_SCALE} AS BIGINT) AS rank_fp FROM deg
     )"""
-    iters = "".join(
-        f""",
-    r{i} AS (
-      SELECT ed.dst AS doc_id,
-             CAST({PR_BASE} + (17 * sum(r.rank_fp // ed.deg)) // 20
-                  AS BIGINT) AS rank_fp
-      FROM ed JOIN r{i - 1} r ON r.doc_id = ed.src
-      GROUP BY 1
-    )"""
-        for i in range(1, PR_ITERS + 1)
-    )
-    return f"""{head}{iters}
+    return f"""{head}{_pagerank_iter_ctes()}
     SELECT r.doc_id, d.deg AS degree, r.rank_fp
     FROM r{PR_ITERS} r JOIN deg d ON d.src = r.doc_id
     """
@@ -2386,6 +2394,64 @@ def pagerank_pairs(pairs: DataFrame) -> DataFrame:
         deg.select(F.col("src").alias("doc_id"), F.col("deg").alias("degree")),
         "doc_id",
     ).select("doc_id", "degree", "rank_fp")
+
+
+# ---------------------------------------------------------------------------
+# Keep-central: the third canonical-picking POLICY, completing the
+# triple — dedup_clusters keeps min-id (arbitrary but stable),
+# dedup_keep_best keeps the longest (quality proxy), this keeps the
+# most CENTRAL member of each cluster by PageRank (the doc every
+# mirror points at — robust when length is adversarial, e.g. a
+# boilerplate-padded copy out-lengthing the original).
+# ---------------------------------------------------------------------------
+def _keep_central_oracle() -> str:
+    # composes the CC closure chain (edges(a,b), lab) with the shared
+    # pagerank recurrence (which wants deg(src,deg) / ed(src,dst,deg))
+    return f"""
+    {_cc_ctes()},
+    deg AS MATERIALIZED (
+      SELECT a AS src, CAST(count(*) AS BIGINT) AS deg
+      FROM edges GROUP BY 1
+    ),
+    ed AS MATERIALIZED (
+      SELECT e.a AS src, e.b AS dst, d.deg
+      FROM edges e JOIN deg d ON d.src = e.a
+    ){_pagerank_iter_ctes()}
+    SELECT l.doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           r.rank_fp,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY r.rank_fp DESC NULLS LAST,
+                                       l.doc_id) = 1 AS is_kept
+    FROM lab l LEFT JOIN r{PR_ITERS} r ON r.doc_id = l.doc_id
+    """
+
+
+@query("dedup_keep_central", oracle=_keep_central_oracle())
+def dedup_keep_central(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster survivor selection by graph centrality: within
+    each near-dup cluster keep the member with the highest fixed-
+    point PageRank (ties → lowest doc_id); singleton docs (no rank —
+    they are not in the pair graph) keep themselves.
+
+    Scale posture: composes two session-cached products — the CC
+    labels and the pair graph's rank table — with one left join and a
+    cluster-partitioned rank window (cluster-sized partitions, same
+    skew posture as dedup_keep_best). The is_kept tie order is fully
+    deterministic: rank_fp is exact integer, NULLS LAST explicit in
+    both engines."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    ranks = dedup_pagerank(spark, sf_dir).select("doc_id", "rank_fp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank_fp").desc_nulls_last(), F.col("doc_id")
+    )
+    return (
+        clusters.join(ranks, "doc_id", "left")
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "rank_fp", "is_kept")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -955,3 +955,29 @@ def test_pagerank_chain_is_symmetric_interior_heavy(spark):
     assert got == _pagerank_model({(i, i + 1) for i in range(4)})
     assert got[1] == got[3] and got[0] == got[4]
     assert min(got[1], got[2]) > got[0]
+
+
+def test_keep_central_picks_max_rank_member(spark, planted_dir):
+    """The kept member of every cluster is the arg-max of rank_fp
+    (ties → min doc_id) over that cluster, computed independently
+    from the pagerank and clusters outputs; singleton docs keep
+    themselves with NULL rank."""
+    ranks = {r["doc_id"]: r["rank_fp"]
+             for r in D.dedup_pagerank(spark, planted_dir).collect()}
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in D.dedup_clusters(spark, planted_dir).collect()}
+    out = {r["doc_id"]: r
+           for r in D.dedup_keep_central(spark, planted_dir).collect()}
+    assert set(out) == set(labels)
+    by_cluster: dict[int, list[int]] = {}
+    for doc, cl in labels.items():
+        by_cluster.setdefault(cl, []).append(doc)
+    for cl, members in by_cluster.items():
+        kept = [d for d in members if out[d]["is_kept"]]
+        assert len(kept) == 1, f"cluster {cl}: {kept}"
+        if len(members) == 1:
+            assert kept == members
+            assert out[members[0]]["rank_fp"] is None
+        else:
+            want = min(members, key=lambda d: (-ranks[d], d))
+            assert kept[0] == want
