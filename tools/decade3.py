@@ -45,6 +45,14 @@ SET3 = [
     "sim_topk_lsh",
     "sim_topk_lsh_multiprobe",
     "dedup_incremental_persisted",
+    # round-7 continuation: the exact prefix join (shuffle-floor
+    # bound), pagerank + keep-central (pair-graph bound), PCA (scan
+    # bound), and the cross-modal full-outer join.
+    "dedup_prefix_jaccard",
+    "dedup_pagerank",
+    "dedup_keep_central",
+    "sim_pca_project",
+    "sim_modality_coverage",
 ]
 
 

@@ -107,6 +107,7 @@ SF1_SET = [
     # corpus's duplicate structure.
     "dedup_prefix_jaccard",
     "dedup_pagerank",
+    "dedup_keep_central",
     # two map-only passes + a metadata collect: should track the scan
     "sim_pca_project",
 ]
@@ -158,6 +159,58 @@ SF10_SET = [
 # overhead-flat): rendered under the table so a REVIEW flag is always
 # accompanied by its analysis or stands out as unexplained.
 REVIEW_NOTES = {
+    "text_bigram_lm_score": (
+        "two map-combined dictionary groupBys (unigram, bigram) off "
+        "the shared tokenize pass + a per-doc stream scored against "
+        "the BROADCAST dicts — every stage corpus-linear; 4.9x on "
+        "10x = the dict build leaving the overhead floor"
+    ),
+    "mm_decode_features": (
+        "Arrow map-only decode of per-doc synthesized payloads — "
+        "wall tracks payload bytes, which scale 1:1 with docs; "
+        "3.7x on 10x with cost/row 0.37"
+    ),
+    "dedup_incremental_minhash": (
+        "the SESSION-path probe rebuilds corpus-side signatures per "
+        "run (its cost term is the corpus; the batch probe itself is "
+        "batch-bound) — 5.6x on 10x is that rebuild leaving the "
+        "floor; the committed-index twin (dedup_incremental_persisted "
+        "+ SCALING decade-3 receipts) is the amortized shape a "
+        "deployment runs"
+    ),
+    "dedup_incremental_persisted": (
+        "the measured wall includes the one-off index BUILD (grows "
+        "with the corpus, amortized across every later batch); the "
+        "probe itself is batch-bound — decade-3 receipts: warm 5k-doc "
+        "probe 6.4 s -> 14.1 s against a 10x larger committed index"
+    ),
+    "sim_pca_project": (
+        "two single scans (integer moment pass, literal-vector "
+        "projection) + a metadata-sized collect — linear by "
+        "construction; 3.5x on 10x vectors at decade 2 with "
+        "cost/row 0.35"
+    ),
+    "dedup_prefix_jaccard": (
+        "the exactness-tier floor: every shingle is shuffled twice "
+        "(df groupBy, doc_id rank window) before the prefix join — "
+        "measured warm 9.7 s -> 88 s on the 10x sf1 -> sf10 step "
+        "(cost/row 0.91), linear with little headroom, the expected "
+        "price of EXACT similarity next to the ~6x-cheaper MinHash "
+        "front; candidates stay bounded by the rarest-first prefix "
+        "order (the stopword-df^2 blowup cannot occur)"
+    ),
+    "dedup_pagerank": (
+        "8 iterations over the LSH-bounded pair graph: wall tracks "
+        "the graph (pairs ~linear in docs on the decorrelated tiers), "
+        "not the corpus — warm 5.5 s -> 6.4 s across sf1 -> sf10; "
+        "cold pays the shared pair-materialization build once"
+    ),
+    "dedup_keep_central": (
+        "composes two session-cached products (CC labels, rank "
+        "table); wall rides whichever cache is cold — warm cost is "
+        "one left join + a cluster-partitioned window over "
+        "cluster-sized partitions"
+    ),
     "docs_strip_dup_spans": (
         "the OUTPUT is the rewritten corpus — one (doc_id, pos, "
         "token) shuffle of every surviving token is the contract's "
@@ -330,6 +383,18 @@ def main() -> int:
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     scales = list(SCALES) + ([SF1_DIR] if have_sf1 else [])
     for sf_dir in scales:
+        # Tier hygiene: drop every cached plan from the PREVIOUS tier
+        # before measuring this one. The session caches (shingle
+        # arrays, pair sets, signature tables — one per (app, sf_dir)
+        # key) otherwise accumulate across the whole battery, and the
+        # later tiers' walls measure cache-manager pressure instead
+        # of the algorithms: the round-7 rerun had
+        # pipeline_clean_corpus at 4.9 s at sf1 inside the audit vs
+        # 1.7 s warm in a fresh session — the 14.5x "SUPER-LINEAR"
+        # was an artifact of 50+ queries of accumulated state. The
+        # per-tier caches rebuild on first touch (min-of-3 absorbs
+        # the rebuild in the cold pass).
+        spark.catalog.clearCache()
         is_sf1 = sf_dir == SF1_DIR
         sf = "1" if is_sf1 else sf_dir.rsplit("sf", 1)[1]
         for n in names:
@@ -344,17 +409,58 @@ def main() -> int:
 
     have_sf10 = have_sf1 and os.path.isdir(SF10_DIR)
     if have_sf10:
+        spark.catalog.clearCache()  # same tier hygiene as above
         for n in names:
             if n not in SF10_SET:
                 continue
             best = float("inf")
-            for _ in range(2):  # min-of-2 at the big tier (see SF10_SET)
+            # min-of-3 (round-7: was 2) — at this tier a single slow
+            # neighbor (GC from the previous query's caches, FS cache
+            # misses) inflates a 2-sample min by 2x; the third sample
+            # costs ~5 min battery-wide and separates noise from shape
+            for _ in range(3):
                 t0 = time.time()
                 qs[n](spark, SF10_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.time() - t0)
             times[n]["10"] = best
+
+    # Flagged-row retest: a >DATA_RATIO step is an audit FAILURE, so
+    # it must not rest on battery-position noise — neighbor caches,
+    # GC, and FS-cache state inflate an in-battery tier wall up to
+    # ~2.5x even under min-of-3 (measured round 7: o1_multikey_sort
+    # 8.26 s in-battery at sf10 vs 3.41 s in a clean back-to-back
+    # sequence; the false flag would have read "13.2x SUPER-LINEAR"
+    # for a query whose controlled ratio is 3.7x). Any would-be
+    # SUPER-LINEAR pair gets ONE controlled re-measurement of both
+    # tiers back-to-back from a cleared cache; the min of the two
+    # estimates stands — a retest can only LOWER a wall, never hide a
+    # real super-linear shape (a genuinely super-linear query is slow
+    # in the clean sequence too).
+    retest_pairs = [("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)]
+    if have_sf10:
+        retest_pairs.append(("10", SF10_DIR))
+    for n in list(times):
+        flagged = False
+        for (ka, _), (kb, _) in zip(retest_pairs, retest_pairs[1:]):
+            ta, tb = times[n].get(ka), times[n].get(kb)
+            if ta and tb and tb / ta > DATA_RATIO:
+                flagged = True
+        if not flagged:
+            continue
+        spark.catalog.clearCache()
+        for key, sf_dir in retest_pairs:
+            if key not in times[n]:
+                continue
+            best = times[n][key]
+            for _ in range(3):
+                t0 = time.time()
+                qs[n](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            times[n][key] = best
 
     lines = [
         "# SCALING — per-query wall growth across fixture scales",
@@ -415,7 +521,7 @@ def main() -> int:
             "500k docs / 200k vectors)",
             "",
             "Second data-bound decade (`tools/make_sf1.py 100 "
-            f"{SF10_DIR}`), min-of-2 per query. Every query here "
+            f"{SF10_DIR}`), min-of-3 per query. Every query here "
             "already left the overhead floor on the sf0.1 -> sf1 "
             "step, so this ratio is pure algorithm — no fixed-cost "
             "excuse. Same bands.",
