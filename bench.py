@@ -132,6 +132,7 @@ EXCLUDED = {
     # -- intentionally-quadratic verify baselines, kept out of the
     # headline so the bench grades the scale path, not the oracle aid.
     "sim_neardup_cosine": "N^2 brute-force baseline; scale path sim_neardup_lsh is benched",
+    "sim_neardup_regenerated": "regenerated-width (REGEN_BITS) twin of benched sim_neardup_lsh; same pipeline, wider plane family — decade3.py measures it at the 2M-vector ceiling",
     "dedup_ngram_jaccard": "all-pairs Jaccard baseline; scale path dedup_minhash_lsh is benched",
     # -- riders on a benched family's shared/cached pass: the benched
     # representative pays the data-sized work; these add sub-second

@@ -49,6 +49,34 @@ def materialize(
 # and the cold-order end-to-end test beside it.
 _SESSION_CACHE_LOCK = threading.RLock()
 
+# Every dict ever handed to session_cached, for reset_session_caches:
+# audit harnesses that call spark.catalog.clearCache() (tools/
+# scaling.py's controlled retest) unregister the persist entries of
+# the memoized frames, and Spark does NOT re-register a cleared
+# persist on next action — the memoized frame would silently replay
+# its full lineage per action while claiming to be a cached pass.
+_REGISTERED_CACHES: list[dict] = []
+
+
+def reset_session_caches() -> int:
+    """Empty every session_cached dict (and unpersist what they held)
+    so the next consumer re-runs build() — the REQUIRED companion to
+    ``spark.catalog.clearCache()`` in measurement harnesses (round-7
+    advisor: clearCache alone turns every memoized shared pass into
+    an uncached full-lineage replay on each downstream action).
+    Returns the number of entries dropped."""
+    with _SESSION_CACHE_LOCK:
+        n = 0
+        for cache in _REGISTERED_CACHES:
+            for got in cache.values():
+                try:  # plain DataFrames; tuple-valued caches skip
+                    got.unpersist()
+                except Exception:
+                    pass
+            n += len(cache)
+            cache.clear()
+        return n
+
 
 def session_cached(cache: dict, spark, sf_dir: str, build):
     """THE session-cache protocol for shared expensive passes, in one
@@ -71,6 +99,8 @@ def session_cached(cache: dict, spark, sf_dir: str, build):
     if got is not None:
         return got
     with _SESSION_CACHE_LOCK:
+        if not any(c is cache for c in _REGISTERED_CACHES):
+            _REGISTERED_CACHES.append(cache)
         got = cache.get(key)
         if got is None:
             got = build()

@@ -487,6 +487,22 @@ def stage_events_daily(
     return stage, len(os.listdir(stage))
 
 
+def stream_state_partitions() -> int:
+    """State-partition count for the driver-visible streaming entries
+    (``spark.sql.shuffle.partitions`` at stream start — baked into the
+    query's checkpoint by Structured Streaming). A stateful operator
+    creates its state stores PER shuffle partition (a stream-stream
+    join keeps four per partition), and every micro-batch pays a
+    commit/snapshot per store regardless of data volume — measured on
+    ``events_stream_attribution`` at sf0.1: 7.5 s warm at 32
+    partitions vs 2.5 s at 8, identical 371-row result. Batch plans
+    are untouched: with AQE's ``initialPartitionNum`` they never read
+    ``shuffle.partitions``. At 100 TB this knob grows with stream
+    volume exactly like batch reducer counts — the deployment sets it
+    per query; the env override is that dial here."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
 def run_stream_to_parquet(
     df: DataFrame,
     prefix: str,
@@ -501,7 +517,14 @@ def run_stream_to_parquet(
     through ``foreachBatch`` and stamps ``batch_id`` on every row
     (parquet sinks reject update mode; the log-then-reduce read is the
     standard pattern), appending ``batch_id bigint`` to the read
-    schema."""
+    schema.
+
+    State partitioning is sized by ``stream_state_partitions()`` for
+    the duration of the start (set/restore around the drain): each
+    entry starts a FRESH checkpoint, so the setting is a per-query
+    deployment choice, not mutable shared state — restored after
+    ``awaitTermination`` returns, i.e. after the last micro-batch has
+    been planned."""
     spark = df.sparkSession
     base = tempfile.mkdtemp(prefix=prefix)
     out_dir = os.path.join(base, "out")
@@ -519,13 +542,20 @@ def run_stream_to_parquet(
         read_schema = read_schema + ", batch_id bigint"
     else:
         writer = writer.format("parquet").option("path", out_dir)
-    q = (
-        writer.option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions())
     )
-    q.awaitTermination()
+    try:
+        q = (
+            writer.option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.read.schema(read_schema).parquet(out_dir)
 
 

@@ -44,58 +44,94 @@ def query(name: str, oracle: str | None = None):
 #     round; these absorb the overflow past slot 50.
 # Everything else keeps its module registration order in between.
 _VERIFY_FIRST = [
-    # --- CHANGED round 7: the top-k LSH probe fronts adopt the
-    # adaptive ext-bits bucket key (the round-6 verdict's one weak
-    # item), multiprobe widens its flip budget to MULTIPROBE_FLIPS+e,
-    # and the recall audit composes both, so all three must re-verify
-    # under the new plans/oracles; the persisted-IVF probe moved from
-    # a collected isin literal to Dynamic Partition Pruning. ---
-    # --- NEW this session (first verification): prefix-filtered
-    # exact Jaccard join (PPJoin-style), fixed-point PageRank
-    # centrality over the verified near-dup graph, and distributed
-    # PCA (integer-exact power iteration). ---
+    # --- NEW round 8 (first verification): the regenerated-width
+    # near-dup front registered with a pinned REGEN_BITS=15 oracle
+    # (round-7 verdict item 5). ---
+    # --- CHANGED round 8, hash-space shingle refactor: the shared
+    # shingle pass materializes 60-bit hash arrays instead of string
+    # arrays (the decade-3 super-linear fix), so every query whose
+    # oracle composes on the shingle/LSH CTE chain re-verifies under
+    # the new formulation; the span family's removal path moved from
+    # per-token explode+anti-join to doc-level array reconstruction;
+    # the three stateful streaming entries re-verify under the sized
+    # state partitioning (stream_state_partitions). events_stream_
+    # ingest also changed but is r6-green, has no stateful shuffle,
+    # and yielded its slot to the staleness rotation (window holds
+    # exactly 50) — it leads the round-9 rotation. ---
+    "sim_neardup_regenerated",
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
     "dedup_prefix_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall",
+    "dedup_edit_distance",
+    "dedup_contamination",
+    "dedup_incremental_minhash",
+    "dedup_incremental_persisted",
+    "dedup_clusters",
+    "dedup_keep_best",
     "dedup_pagerank",
     "dedup_keep_central",
+    "dedup_graph_stats",
+    "dedup_cross_source",
+    "docs_strip_dup_spans",
+    "pipeline_dedup_corpus",
+    "events_stream_attribution",
+    "events_stream_sessionize",
+    "events_stream_clamp",
+    # --- STALENESS ROTATION (round-7 verdict item 7): the 29 queries
+    # whose last driver-green row is round 5 — freshness policy says
+    # nothing staler than 2 rounds. ---
+    "a2_orders_per_customer",
+    "dedup_exact",
+    "dedup_simhash_pairs",
+    "events_hourly_rollup",
+    "events_value_percentiles",
+    "j2_chained_ri_lineitem",
+    "m1_apply_price_deltas",
+    "o1_multikey_sort",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "p3_filter_project",
+    "p5_point_lookup",
+    "p6_p7_trim_strict_cast",
+    "pipeline_clean_corpus",
+    "pipeline_pretrain_mix",
+    "q1_user_events",
+    "q_pricing_summary",
+    "q_region_revenue",
+    "q_top_revenue_orders",
+    "sample_temperature_mix",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "text_commonness_score",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_source_stats",
+    "text_token_freq",
+]
+_STABLE_TAIL = [
+    # --- r7-green re-confirmations (fresh last round, minus those
+    # pulled into the head by the refactor): absorb the overflow past
+    # slot 50 and lead the round-9 rotation after events_stream_
+    # ingest and the r6-green mid. ---
     "sim_pca_project",
     "sim_modality_coverage",
     "sim_topk_lsh",
     "sim_topk_lsh_multiprobe",
-    "sim_recall_audit",  # also r4-stale — doubly due
+    "sim_recall_audit",
     "sim_topk_ivf_persisted",
-    # --- NEW round 7 (first verification): incremental near-dup probe
-    # against the SnapshotStore-committed corpus band index with
-    # dynamic partition pruning on the probe scan ---
-    "dedup_incremental_persisted",
-    # --- STALENESS ROTATION (round-6 verdict item 1): the remaining
-    # 20 queries whose last driver-green row is round 4 — everything
-    # else on the surface is r5/r6-green. Grouped by module; order
-    # within the band is immaterial. ---
-    "dedup_containment_pairs",
     "dedup_source_stats",
-    "dedup_incremental_minhash",
-    "dedup_cross_source",
-    "dedup_minhash_lsh",
-    "dedup_lsh_recall",
-    "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    "dedup_contamination",
-    "dedup_clusters",
-    "dedup_keep_best",
     "dedup_incremental",
     "dedup_bloom_prefilter",
-    "dedup_graph_stats",
     "sim_embedding_stats",
     "sim_centroid_outliers",
     "docs_chunk_overlap",
     "docs_domain_budget",
     "pipeline_training_mix",
     "text_tfidf_topk",
-    # --- r5-green re-confirmations filling the window to exactly 50
-    # (26 of the 49 r5 entries; non-bench-tracked rows first, since
-    # bench gives the tracked ones an implicit per-round smoke — the
-    # 23 leftovers park in the tail and lead the round-8 rotation).
-    # ---
     "a1_conditional_counts",
     "a2_orders_rollup",
     "a3_approx_distinct",
@@ -116,96 +152,6 @@ _VERIFY_FIRST = [
     "s7_multiformat_union",
     "sample_stratified",
     "text_bpe_token_count",
-]
-_STABLE_TAIL = [
-    # --- displaced from the head by the five new round-7 queries
-    # (window holds exactly 50): r5-green, bench-smoked via their
-    # modules' shared passes; they join the round-8 rotation lead. ---
-    "text_commonness_score",
-    "text_fingerprint",
-    "text_langid",
-    "text_repetition_ratio",
-    "text_source_stats",
-    # --- r5-green leftovers: text_token_freq yielded its head slot to
-    # the new persisted-band-index entry, plus 4 reference-parity
-    # basics with dense
-    # pytest coverage (test_social_golden / loader properties) and
-    # the 19 r5 rows bench smokes every round — they LEAD the
-    # round-8 rotation. ---
-    "text_token_freq",
-    "p3_filter_project",
-    "p5_point_lookup",
-    "p6_p7_trim_strict_cast",
-    "q1_user_events",
-    "q_pricing_summary",
-    "q_top_revenue_orders",
-    "q_region_revenue",
-    "j2_chained_ri_lineitem",
-    "o1_multikey_sort",
-    "a2_orders_per_customer",
-    "events_hourly_rollup",
-    "m1_apply_price_deltas",
-    "dedup_exact",
-    "text_quality_score",
-    "pipeline_clean_corpus",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "orders_rfm_segments",
-    "events_value_percentiles",
-    "orders_market_basket",
-    "sample_temperature_mix",
-    "pipeline_pretrain_mix",
-    "dedup_simhash_pairs",
-    # --- r6-green re-confirmations (fresh last round, minus the
-    # three that moved to the head as round-7-changed): follow the
-    # r5 leftovers in the round-8 rotation. ---
-    "docs_pack_sequences",
-    "docs_strip_dup_spans",
-    "pipeline_dedup_corpus",
-    "dedup_span_exact",
-    "sim_neardup_lsh",
-    "sim_semantic_dedup",
-    "events_pivot_daily",
-    "events_retention",
-    "events_sliding_rollup",
-    "events_sessionize",
-    "events_sessionize_twophase",
-    "events_next_transition",
-    "events_range_attribution",
-    "events_dedup_redelivery",
-    "events_heavy_hitters",
-    "events_top_paths",
-    "mm_payload_stats",
-    "mm_decode_features",
-    "mm_frame_stats",
-    "mm_resize_stats",
-    "sim_topk_pq",
-    "sim_topk_ivf_kmeans",
-    "sim_topk_ivfpq",
-    "sim_kmeans_assign",
-    "sim_dim_stats",
-    "sim_neardup_cosine",
-    "m2_validated_append",
-    "m4_delete_upsert",
-    "m5_snapshot_diff",
-    "s5_snapshot_roundtrip",
-    "s8_rollup_maintenance",
-    "o3_window_suite",
-    "a2_orders_cube",
-    "q_above_customer_avg",
-    "events_stream_ingest",
-    "events_stream_attribution",
-    "events_stream_sessionize",
-    "events_stream_clamp",
-    "events_anomaly_zscore",
-    "events_bitmap_retention",
-    "events_daily_gapfill",
-    "events_dau_rolling",
-    "events_interarrival_stats",
-    "events_session_stats",
-    "sample_train_split",
-    "text_bigram_lm_score",
-    "text_pii_scrub",
 ]
 
 

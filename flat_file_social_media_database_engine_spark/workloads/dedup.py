@@ -122,12 +122,21 @@ _SHINGLES_SQL = f"""
 
 
 def _shingles_udf():
-    """Arrow-vectorized tokenize+shingle pass — replaces the
-    interpreted-HOF ``_shingles(_tokens())`` expression in the SHARED
-    materialization only (measured ~2.5s → ~0.3s for 5000 docs at
-    sf0.1; higher-order functions are evaluated interpreted, and this
-    pass is the widest map stage of the dedup tier — same escape-hatch
-    precedent as ``_minhash_sig_udf``).
+    """Arrow-vectorized tokenize+shingle+HASH pass — replaces the
+    interpreted-HOF ``transform(_shingles(_tokens()), _h60)``
+    expression in the SHARED materialization only (measured ~2.5s →
+    ~0.3s for 5000 docs at sf0.1 for the string half; higher-order
+    functions are evaluated interpreted, and this pass is the widest
+    map stage of the dedup tier — same escape-hatch precedent as
+    ``_minhash_sig_udf``). Output is the per-doc array of 60-bit
+    shingle HASHES (``array<long>``), not shingle strings: the
+    round-7 decade-3 audit measured the materialized string-array
+    intermediate (5-10 GB at sf100) as the super-linear I/O boundary
+    of the whole LSH front — 8 bytes/shingle persists, shuffles, and
+    Arrow-transfers ~5× less than the ~40-byte 3-word shingle string,
+    and every downstream consumer (MinHash family, inverted-index
+    joins, array_intersect verification) only ever needed hash
+    EQUALITY, computed identically in both engines.
 
     Semantics replicate the JVM expression EXACTLY (the expression
     form stays in the module as the executable spec, and equivalence
@@ -138,15 +147,22 @@ def _shingles_udf():
     - Spark's ``split`` runs with limit=-1, so trailing empty fields
       are KEPT (unlike ``String.split``'s default) — ``re.split``
       matches that natively; the equivalence test pins it;
-    - distinct keeps first-occurrence order (``dict.fromkeys``)."""
+    - distinct keeps first-occurrence order (``dict.fromkeys``) and
+      applies to the STRINGS, before hashing — both engines hash the
+      same distinct string set, so an md5 collision (never observed;
+      p ≈ 2⁻⁶⁰) would be identical on both sides;
+    - the hash is ``int(md5(s)[:15 hex], 16)`` — bit-identical to
+      ``_h60`` / ``_h60_sql``."""
+    import hashlib
     import re
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     ws = re.compile(r"\s+", re.ASCII)
+    md5 = hashlib.md5
 
-    @pandas_udf("array<string>")
+    @pandas_udf("array<long>")
     def sh(texts):
         out = []
         for t in texts:
@@ -154,12 +170,13 @@ def _shingles_udf():
             toks = ws.split(t)
             if len(toks) >= SHINGLE_K:
                 out.append(
-                    list(
-                        dict.fromkeys(
+                    [
+                        int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        for s in dict.fromkeys(
                             " ".join(toks[i : i + SHINGLE_K])
                             for i in range(len(toks) - SHINGLE_K + 1)
                         )
-                    )
+                    ]
                 )
             else:
                 out.append([])
@@ -176,15 +193,21 @@ def _shingles_udf():
 # ``e`` reference a cheap re-unnest of cached arrays; measured on
 # dedup_graph_stats' oracle at sf0.1: 95 s → seconds for the
 # identical 1-row result. Execution hint only — results unchanged.
+# Like the Spark side, the materialized arrays are 60-bit HASHES of
+# the first-occurrence-distinct shingle strings (``harr``), hashed
+# with the same md5 expression — the differential covers the whole
+# hash-space pipeline, not a string-space stand-in.
 _DOC_SHINGLES_SQL = f"""
     WITH tok AS (
       SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
     ),
     sh AS MATERIALIZED (
-      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok
+      SELECT doc_id,
+             list_transform({_SHINGLES_SQL}, s -> {_h60_sql('s')}) AS harr
+      FROM tok
     ),
     e AS (
-      SELECT doc_id, unnest(shingles) AS s FROM sh
+      SELECT doc_id, unnest(harr) AS h FROM sh
     ),
     sizes AS MATERIALIZED (
       SELECT doc_id, count(*) AS n_shingles FROM e GROUP BY doc_id
@@ -198,7 +221,13 @@ _LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ONE materialized shingle pass all dedup queries share:
-    (doc_id, shingles array<string>), cached per (application, sf_dir).
+    (doc_id, harr array<long> of 60-bit shingle hashes), cached per
+    (application, sf_dir). Hash-space by round-8 decision: the
+    decade-3 audit measured the string-array form (5-10 GB at sf100)
+    as the I/O boundary that made the whole LSH front super-linear on
+    the sf10→sf100 step; int64 arrays persist/shuffle ~5× smaller and
+    no consumer ever needed the strings — only hash equality, which
+    the oracle replicates with the identical md5 expression.
 
     The docs table arrives as few parquet splits (one, at fixture
     scale) while shingling is CPU-heavy per row — repartition to the
@@ -224,7 +253,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         # front at sf0.1 when this ran at the scan's width).
         docs = spread(read_table(spark, sf_dir, "documents"))
         return materialize(
-            docs.select("doc_id", _shingles_udf()("text").alias("shingles"))
+            docs.select("doc_id", _shingles_udf()("text").alias("harr"))
         )
 
     return session_cached(_SHINGLE_CACHE, spark, sf_dir, build)
@@ -233,26 +262,27 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_shingles(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(exploded (doc_id, s) shingles, per-doc shingle counts), both
-    derived from the shared cached array pass. ``n_shingles`` is the
-    array size (shingles are per-doc distinct) — no group-by shuffle;
-    zero-shingle docs are filtered to match the exploded form, where
-    they never produce a row."""
+    """(exploded (doc_id, h) shingle hashes, per-doc shingle counts),
+    both derived from the shared cached array pass. ``n_shingles`` is
+    the array size (shingles are per-doc distinct) — no group-by
+    shuffle; zero-shingle docs are filtered to match the exploded
+    form, where they never produce a row."""
     sh = _shingle_arrays(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.filter(F.size("shingles") > 0).select(
-        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+    e = sh.select("doc_id", F.explode("harr").alias("h"))
+    sizes = sh.filter(F.size("harr") > 0).select(
+        "doc_id", F.size("harr").cast("bigint").alias("n_shingles")
     )
     return e, sizes
 
 
 def _pair_jaccard(e: DataFrame, sizes: DataFrame) -> DataFrame:
     """Exact Jaccard for doc pairs sharing ≥1 shingle, via the
-    inverted-index self-join (candidates share a key — no cartesian)."""
+    inverted-index self-join (candidates share a key — no cartesian).
+    The join key is the 8-byte shingle hash, never the string."""
     a = e.alias("a")
     b = e.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
         )
@@ -312,7 +342,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              count(*) AS common
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_id_a, doc_id_b, common,
@@ -350,7 +380,7 @@ CONTAINMENT_THRESHOLD = 0.8
     pairs AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              count(*) AS common
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_id_a, doc_id_b, common,
@@ -420,7 +450,7 @@ PREFIX_TAU_NUM, PREFIX_TAU_DEN = 7, 10  # t = 0.7, kept integer-exact
     pairs AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              count(*) AS common
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_id_a, doc_id_b, common,
@@ -460,18 +490,27 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional filtering and suffix filtering (PPJoin+) — prunes
     candidates further without changing this plan's shape."""
     sh = _shingle_arrays(spark, sf_dir)
-    e = sh.filter(F.size("shingles") > 0).select(
-        "doc_id",
-        F.size("shingles").cast("bigint").alias("n"),
-        F.explode("shingles").alias("s"),
+    # ONE explicit hash repartition on the shingle hash feeds BOTH
+    # the df groupBy and the annotation join (round-7 verdict: the
+    # two pre-join shuffles shared a key) — hashpartitioning(h)
+    # satisfies the groupBy's required distribution and the join's
+    # left side, so neither inserts another exchange.
+    e = (
+        sh.filter(F.size("harr") > 0)
+        .select(
+            "doc_id",
+            F.size("harr").cast("bigint").alias("n"),
+            F.explode("harr").alias("h"),
+        )
+        .repartition(F.col("h"))
     )
-    dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("s_df"))
+    dfreq = e.groupBy("h").agg(F.count(F.lit(1)).alias("s_df"))
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy("s_df", "s")
+    w = Window.partitionBy("doc_id").orderBy("s_df", "h")
     prefix = (
-        e.join(dfreq, "s")
+        e.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
@@ -482,16 +521,16 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 1
         )
-        .select("doc_id", "n", "s")
+        .select("doc_id", "n", "h")
     )
     pa = prefix.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("n").alias("pn_a"), "s"
+        F.col("doc_id").alias("doc_id_a"), F.col("n").alias("pn_a"), "h"
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("n").alias("pn_b"), "s"
+        F.col("doc_id").alias("doc_id_b"), F.col("n").alias("pn_b"), "h"
     )
     cand = (
-        pa.join(pb, "s")
+        pa.join(pb, "h")
         .filter(
             (F.col("doc_id_a") < F.col("doc_id_b"))
             & (
@@ -503,10 +542,10 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sha = sh.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+        F.col("doc_id").alias("doc_id_a"), F.col("harr").alias("sh_a")
     )
     shb = sh.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+        F.col("doc_id").alias("doc_id_b"), F.col("harr").alias("sh_b")
     )
     return (
         cand.join(sha, "doc_id_a")
@@ -579,9 +618,9 @@ def _band_table(sh: DataFrame) -> DataFrame:
     8-byte column. Shared by the full pair query and the incremental
     probe; docs with no shingles have no MinHash (empty min) — the
     agg formulation dropped them implicitly, map-only must filter."""
-    garr = sh.filter(F.size("shingles") > 0).select(
+    garr = sh.filter(F.size("harr") > 0).select(
         "doc_id",
-        F.transform("shingles", lambda s: _h60(s) % _P).alias("garr"),
+        F.transform("harr", lambda h: h % _P).alias("garr"),
     )
     sig = garr.select("doc_id", _minhash_sig_udf()("garr").alias("mh"))
     band_key_cols = [
@@ -724,7 +763,7 @@ def _lsh_pairs_ctes() -> str:
     return f"""
     {_DOC_SHINGLES_SQL},
     g AS (
-      SELECT doc_id, {_h60_sql('s')} % {_P} AS g FROM e
+      SELECT doc_id, h % {_P} AS g FROM e
     ),
     sigm AS (
       SELECT doc_id, {mins} FROM g GROUP BY doc_id
@@ -752,7 +791,7 @@ def _lsh_pairs_ctes() -> str:
       SELECT c.doc_id_a, c.doc_id_b, count(*) AS common
       FROM cand c
       JOIN e ea ON ea.doc_id = c.doc_id_a
-      JOIN e eb ON eb.doc_id = c.doc_id_b AND eb.s = ea.s
+      JOIN e eb ON eb.doc_id = c.doc_id_b AND eb.h = ea.h
       GROUP BY 1, 2
     ),
     lsh_pairs AS MATERIALIZED (
@@ -810,10 +849,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _band_candidates_shared(spark, sf_dir)
 
     sha = sh.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+        F.col("doc_id").alias("doc_id_a"), F.col("harr").alias("sh_a")
     )
     shb = sh.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+        F.col("doc_id").alias("doc_id_b"), F.col("harr").alias("sh_b")
     )
     return (
         cand.join(sha, "doc_id_a")
@@ -879,7 +918,7 @@ def _lsh_recall_oracle() -> str:
     tp AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              count(*) AS common
-      FROM se a JOIN se b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM se a JOIN se b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     tj AS (
@@ -1292,10 +1331,10 @@ N_BENCHMARK = 10
     oracle=f"""
     {_DOC_SHINGLES_SQL}
     SELECT c.doc_id AS doc_id,
-           count(DISTINCT c.s) AS n_shared_shingles
+           count(DISTINCT c.h) AS n_shared_shingles
     FROM e c
-    JOIN (SELECT DISTINCT s FROM e WHERE doc_id < {N_BENCHMARK}) b
-      ON c.s = b.s
+    JOIN (SELECT DISTINCT h FROM e WHERE doc_id < {N_BENCHMARK}) b
+      ON c.h = b.h
     WHERE c.doc_id >= {N_BENCHMARK}
     GROUP BY c.doc_id
     """,
@@ -1305,13 +1344,13 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (with the shared-shingle count as the contamination strength)."""
     e, _ = _doc_shingles(spark, sf_dir)
     bench = (
-        e.filter(F.col("doc_id") < N_BENCHMARK).select("s").distinct()
+        e.filter(F.col("doc_id") < N_BENCHMARK).select("h").distinct()
     )
     corpus = e.filter(F.col("doc_id") >= N_BENCHMARK)
     return (
-        corpus.join(F.broadcast(bench), "s")
+        corpus.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
-        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+        .agg(F.countDistinct("h").alias("n_shared_shingles"))
     )
 
 
@@ -1675,9 +1714,9 @@ def _inc_best_match(
     batch doc — batch-sized state, never corpus-sized."""
     from pyspark.sql import Window
 
-    shb = sh.select(F.col("doc_id"), F.col("shingles").alias("sh_new"))
+    shb = sh.select(F.col("doc_id"), F.col("harr").alias("sh_new"))
     shc = sh.select(
-        F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_old")
+        F.col("doc_id").alias("corpus_doc_id"), F.col("harr").alias("sh_old")
     )
     common = F.size(F.array_intersect("sh_new", "sh_old")).cast("bigint")
     verified = (
@@ -1894,11 +1933,15 @@ def _dup_occurrences(grams: DataFrame) -> DataFrame:
     return grams.join(dup_h, "h", "left_semi")
 
 
-def _noncanonical_removal(grams: DataFrame) -> DataFrame:
-    """Distinct (doc_id, p) token positions covered by NON-canonical
-    duplicated-gram occurrences (canonical = corpus-wide lowest
-    (doc_id, pos) per gram hash) — the single Spark statement of the
-    canonical-keep rule; ``_SPAN_REMOVAL_CTES`` is its SQL twin.
+def _noncanonical_starts(grams: DataFrame) -> DataFrame:
+    """(doc_id, pos) START positions of NON-canonical duplicated-gram
+    occurrences (canonical = corpus-wide lowest (doc_id, pos) per gram
+    hash) — the single Spark statement of the canonical-keep rule;
+    ``_SPAN_REMOVAL_CTES``'s ``nc`` is its SQL twin. Covered-position
+    expansion is left to the CONSUMER as per-doc array arithmetic
+    (round-8: the old explode-to-(doc_id,p)-and-distinct shape
+    shuffled one row per covered TOKEN; both consumers only ever
+    needed per-doc aggregates of the starts).
 
     Skew posture: the canonical pick is a per-h ``min(struct(doc_id,
     pos))`` — an ordinary PARTIAL-AGGREGABLE group-by (map-side
@@ -1919,7 +1962,7 @@ def _noncanonical_removal(grams: DataFrame) -> DataFrame:
     canon = dup.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("__canon")
     )
-    nc = (
+    return (
         dup.join(canon, "h")
         .filter(
             (F.col("doc_id") != F.col("__canon.doc_id"))
@@ -1927,10 +1970,33 @@ def _noncanonical_removal(grams: DataFrame) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
-    return nc.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("p"),
-    ).distinct()
+
+
+def _removal_positions(grams: DataFrame) -> DataFrame:
+    """Per-doc REMOVED token positions as one sorted-distinct bigint
+    array: (doc_id, rem_ps) — the union of ``[pos, pos+SPAN_K-1]``
+    over that doc's non-canonical duplicated-gram starts. ONE
+    map-combinable shuffle of (doc_id, pos) start pairs (16 bytes a
+    row); the expansion to covered positions is JVM array arithmetic
+    on the doc-sized result, so no row per covered token ever crosses
+    the wire — this replaced the explode+distinct shape the decade-3
+    audit measured super-linear (13.7×) at sf100."""
+    starts = _noncanonical_starts(grams)
+    expand = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "__starts",
+                    lambda p: F.sequence(p, p + SPAN_K - 1),
+                )
+            )
+        )
+    )
+    return (
+        starts.groupBy("doc_id")
+        .agg(F.collect_list(F.col("pos").cast("bigint")).alias("__starts"))
+        .select("doc_id", expand.alias("rem_ps"))
+    )
 
 
 def _interval_union_count(positions, width: int):
@@ -2565,38 +2631,44 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture, on top of the shared materialized gram pass: the
     canonical choice is a partial-aggregable per-h min(struct) +
     equi-join back on the SAME h key as the count shuffle (exchange
-    reused; no per-h sort — see ``_noncanonical_removal`` for the
-    hot-gram argument); removal positions are a bounded <= SPAN_K-x explode of
-    non-canonical occurrences only; the rewrite itself is a per-doc
-    anti-join + ordered fold, shuffling (doc_id, pos, token) — the
-    corpus once, which is the floor for a query whose OUTPUT is the
-    rewritten corpus."""
+    reused; no per-h sort — see ``_noncanonical_starts`` for the
+    hot-gram argument); removal positions aggregate as (doc_id, pos)
+    START pairs only — 16 bytes a row, a small fraction of the corpus
+    at real dup rates — and expand to covered positions as per-doc
+    JVM array arithmetic (``_removal_positions``); the rewrite itself
+    is ONE doc-level join of (doc_id, toks) against the doc-sized
+    removal arrays, with the surviving text rebuilt by
+    ``array_except`` over the position range + ``element_at`` — no
+    per-token row ever shuffles. (Round-8 rewrite: the previous
+    per-token (doc_id, pos, token-string) explode → anti-join →
+    collect_list shape was the decade-3 audit's worst row, 13.7× on
+    the 10× sf10→sf100 step; the corpus-sized shuffle that remains is
+    the doc-level join — the floor for a query whose OUTPUT is the
+    rewritten corpus.)"""
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _tokens().alias("toks"))
-    rem = _noncanonical_removal(_span_grams(spark, sf_dir))
-    tp = tok.select(
-        "doc_id", F.posexplode("toks").alias("p0", "tk")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tk")
-    kept = tp.join(rem, ["doc_id", "p"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tk"))),
-                lambda s: s["tk"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
+    rem = _removal_positions(_span_grams(spark, sf_dir))
     n = F.size("toks").cast("bigint")
+    # Positions are 1-based; guard the (theoretical) zero-token doc —
+    # Spark's sequence(1, 0) would generate DESCENDING [1, 0].
+    all_ps = F.when(
+        n >= 1, F.sequence(F.lit(1).cast("bigint"), n)
+    ).otherwise(F.array().cast("array<bigint>"))
+    kept_ps = F.array_except(
+        all_ps, F.coalesce("rem_ps", F.array().cast("array<bigint>"))
+    )
     return (
-        tok.select("doc_id", n.alias("n_tokens"))
-        .join(agg, "doc_id", "left")
+        tok.join(rem, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            n.alias("n_tokens"),
+            (n - F.size(kept_ps)).cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    kept_ps, lambda p: F.element_at("toks", p.cast("int"))
+                ),
+                " ",
+            ).alias("cleaned_text"),
         )
     )
 
@@ -2708,10 +2780,18 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _span_grams(spark, sf_dir).join(
         kept.select("doc_id"), "doc_id", "left_semi"
     )
+    # Distinct covered-token count per doc = interval-union fold over
+    # the sorted non-canonical START positions — same machinery as
+    # dedup_span_exact's coverage; only (doc_id, pos) start pairs
+    # shuffle, never one row per covered token.
     cov = (
-        _noncanonical_removal(grams)
+        _noncanonical_starts(grams)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_removed"))
+        .agg(
+            _interval_union_count(
+                F.collect_list(F.col("pos").cast("bigint")), SPAN_K
+            ).alias("n_removed")
+        )
     )
     raw = F.sum("n_tokens")
     stripped = F.sum(F.coalesce("n_removed", F.lit(0)))

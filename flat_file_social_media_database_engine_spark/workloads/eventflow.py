@@ -1574,6 +1574,17 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table streamed one-file-per-trigger could advance the
         # watermark past rows in later files (file order is mtime, not
         # event time) and silently drop joins the batch oracle keeps.
+        # Measured (round 8): the event-time-ordered weekly staging
+        # that WOULD make multi-batch watermark-safe (same rows —
+        # differential pinned in tests/test_streaming.py) costs 24.9s
+        # vs 15.4s cold at sf0.1 — each local micro-batch pays fixed
+        # state-store commit overhead — so the single batch IS the
+        # wall-clock floor at fixture scale. The round-7 regression
+        # root cause was state-store count, not batch shape: a
+        # stream-stream join keeps 4 state stores per shuffle
+        # partition and commits each per batch; sizing state
+        # partitions to stream volume (stream_state_partitions, now 8)
+        # cut the warm wall 7.5s → 2.5s, identical result.
         joined = attribution_join_stream(
             read_events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
         )

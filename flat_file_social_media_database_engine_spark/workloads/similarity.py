@@ -1029,10 +1029,10 @@ def sim_neardup_regenerated(
     candidate volume is bounded by (rows/cap)·C(cap,2), linear in
     rows at fixed cap, so cap picks the shuffle budget), same exact
     re-score at the shared threshold — only the bucket key family
-    differs. Not a driver query (the registered front's adaptive
-    ladder covers every fixture scale); this is the tested code path
-    a >2M-vector corpus switches to, wired so the swap is one width
-    argument."""
+    differs. The PINNED-width wrapper below registers this as the
+    driver query ``sim_neardup_regenerated`` (REGEN_BITS); the width
+    argument stays so pytest can exercise other widths and a
+    deployment can re-pin without touching the pipeline."""
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", "embedding", F.sqrt(_norm2("embedding")).alias("nrm")
@@ -1077,6 +1077,83 @@ def sim_neardup_regenerated(
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
+
+
+# Pinned regeneration width for the DRIVER entry (round-7 verdict
+# item 5: the ceiling-recovery path needs its own green CORRECTNESS
+# row, not just pytest + the decade-3 demo). 15 bits is the width the
+# 2M-vector ceiling demonstration uses (tools/decade3.py) — past the
+# e=7 ext-ladder ceiling, ~32·2^15 buckets keep expected occupancy in
+# the dozens through ~50M vectors. On the small driver fixtures the
+# buckets are simply sparser: genuinely near-dup pairs still collide
+# in ≥1 of the 32 tables with p ≈ 1 − (1 − (1 − θ/π)^15)^32 ≈ 1 at
+# cosine ≥ 0.95, so the entry exercises the full candidate + verify
+# pipeline at every scale with ONE width constant.
+REGEN_BITS = 15
+
+
+def _regen_oracle() -> str:
+    """DuckDB replay of the REGENERATED-width near-dup front: the
+    seeded ``_regen_planes(REGEN_BITS)`` family embeds as a VALUES
+    table (same repr-round-trip float discipline as ``_lsh_sig_ctes``)
+    and the key/cap/candidate/verify chain mirrors
+    ``_neardup_lsh_oracle`` at the regenerated width — a true
+    differential of the ceiling-recovery path."""
+    hp_rows = ", ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in h)}])"
+        for t, b, h in _regen_planes(REGEN_BITS)
+    )
+    dot = _dot_sql("e.embedding", "hp.h")
+    cos = f"{_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+    WITH hp(t, b, h) AS (VALUES {hp_rows}),
+    base AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    keyed AS (
+      SELECT e.vec_id, hp.t,
+             CAST(sum(CASE WHEN {dot} >= 0
+                           THEN (CAST(1 AS BIGINT) << hp.b) ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM embeddings e CROSS JOIN hp
+      GROUP BY e.vec_id, hp.t
+    ),
+    sig_ok AS (
+      SELECT t, k FROM keyed GROUP BY t, k
+      HAVING count(*) <= {_EMB_BUCKET_CAP}
+    ),
+    sigs_c AS (
+      SELECT s.* FROM keyed s JOIN sig_ok ok ON ok.t = s.t AND ok.k = s.k
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+      FROM sigs_c x
+      JOIN sigs_c y ON y.t = x.t AND y.k = x.k
+      WHERE x.vec_id < y.vec_id
+    )
+    SELECT c.vec_id_a, c.vec_id_b, {cos} AS cosine
+    FROM cand c
+    JOIN base a ON a.vec_id = c.vec_id_a
+    JOIN base b ON b.vec_id = c.vec_id_b
+    WHERE {cos} >= {NEARDUP_COSINE}
+    """
+
+
+@query("sim_neardup_regenerated", oracle=_regen_oracle())
+def sim_neardup_regenerated_pinned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The regenerated-family near-dup front at the PINNED driver
+    width (``REGEN_BITS`` = 15, cap = the shared hot-bucket constant):
+    what a deployment switches to past the ext ladder's ~2M-vector
+    ceiling, registered so the recovery path has its own driver-green
+    correctness row. Same output contract as ``sim_neardup_lsh``;
+    only the bucket-key family differs. tools/decade3.py's ceiling
+    demonstration calls THIS entry, so the demo and the verified
+    query are one code path."""
+    return sim_neardup_regenerated(spark, sf_dir, REGEN_BITS)
 
 
 # ---------------------------------------------------------------------------
@@ -2578,6 +2655,22 @@ def _pca_moment_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [np.asarray(v, dtype=np.float64) for v in chunk]
                 )
                 Q = np.floor(V * _PCA_QSCALE + 0.5).astype(np.int64)
+                # The int64 partial bound above assumes |Q| <~ 1e7
+                # (embedding magnitudes <~ 10 at _PCA_QSCALE=1e6);
+                # nothing upstream enforces it, and numpy int64
+                # WRAPS silently while the DuckDB oracle computes the
+                # same moments in HUGEINT — so out-of-contract input
+                # must fail HERE, not as an opaque cross-engine hash
+                # mismatch (round-7 advisor). 3e7 matches the 8192·q²
+                # < 2^63 headroom: 8192·(3e7)² ≈ 7.4·10^18 < 9.2·10^18.
+                qmax = np.abs(Q).max() if Q.size else 0
+                if qmax > 3e7:
+                    raise ValueError(
+                        "PCA moment pass: quantized embedding magnitude "
+                        f"{qmax:.3g} exceeds the int64 partial-sum "
+                        "contract (|x| <~ 30 at QSCALE=1e6); raise "
+                        "_PCA_QSCALE headroom or rescale the input"
+                    )
                 S = Q.T @ Q
                 s = Q.sum(axis=0)
                 yield pd.DataFrame(

@@ -108,12 +108,13 @@ def test_incremental_dedup_statuses(spark, tmp_path_factory):
 
 
 def test_shingle_udf_matches_expression_formulation(spark, tmp_path_factory):
-    """The Arrow shingle pass must agree with the JVM expression spec
-    (`_shingles(_tokens())`) element-for-element — on the real fixture
-    AND on adversarial whitespace (tabs, trailing separators, leading
-    separators, short/empty docs), where Spark split's keep-trailing-
-    empties (limit=-1) rule and ASCII \\s class are easy to get
-    wrong."""
+    """The Arrow shingle+hash pass must agree with the JVM expression
+    spec (`transform(_shingles(_tokens()), _h60)`) element-for-element
+    — on the real fixture AND on adversarial whitespace (tabs,
+    trailing separators, leading separators, short/empty docs), where
+    Spark split's keep-trailing-empties (limit=-1) rule and ASCII \\s
+    class are easy to get wrong — and the hash (Python hashlib.md5
+    first-15-hex vs JVM md5+conv) must be bit-identical."""
     from pyspark.sql import functions as F
 
     tricky = [
@@ -128,6 +129,7 @@ def test_shingle_udf_matches_expression_formulation(spark, tmp_path_factory):
         (8, "   "),
         (9, "a b c a b c a b c"),  # duplicate shingles -> distinct
         (10, "x\ty\nz w"),
+        (11, "unicode façade naïve café tokens héllo wörld"),
     ]
     df = spark.createDataFrame(tricky, "doc_id long, text string")
     fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -135,7 +137,10 @@ def test_shingle_udf_matches_expression_formulation(spark, tmp_path_factory):
         expr = {
             r["doc_id"]: r["s"]
             for r in src.select(
-                "doc_id", D._shingles(D._tokens()).alias("s")
+                "doc_id",
+                F.transform(
+                    D._shingles(D._tokens()), D._h60
+                ).alias("s"),
             ).collect()
         }
         udf = {

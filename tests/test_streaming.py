@@ -473,6 +473,39 @@ def test_attribution_join_stream_matches_batch_pairs(spark):
     assert len(got) > 0
 
 
+def test_attribution_multi_batch_equals_single_batch(spark):
+    """The production shape — many micro-batches, watermark advancing
+    between them — must emit the same pair set as the single-batch
+    drain the driver entry uses (round-7 verdict item 3): weekly
+    event-time-ordered staging makes multi-batch watermark-safe
+    (periods are contiguous, so no batch carries rows behind the
+    previous batch's watermark, and cross-batch interval matches
+    survive because join-state retention is derived from the interval
+    bound, not the batch boundary)."""
+    stage, n_parts = SE.stage_events_daily(spark, SF, unit="week")
+    assert n_parts > 1, "fixture must replay as multiple micro-batches"
+
+    def drain(stream):
+        return {
+            tuple(r)
+            for r in SE.run_stream_to_parquet(
+                SE.attribution_join_stream(stream),
+                "t_attr_mb_",
+                "purchase_id bigint, user_id bigint,"
+                " purchase_ts timestamp, click_ts timestamp",
+            ).collect()
+        }
+
+    multi = drain(
+        SE.read_staged_events_stream(spark, stage, max_files_per_trigger=1)
+    )
+    single = drain(
+        SE.read_events_stream(spark, SF, max_files_per_trigger=1_000_000)
+    )
+    assert multi == single
+    assert len(single) > 0
+
+
 def test_exactly_once_ingest_into_snapshot_store(spark, tmp_path):
     """foreachBatch sink: stream → SnapshotStore.append with the batch
     id recorded in the SAME manifest commit. Redelivered batches (the
