@@ -986,3 +986,47 @@ def test_keep_central_picks_max_rank_member(spark, planted_dir):
         else:
             want = min(members, key=lambda d: (-ranks[d], d))
             assert kept[0] == want
+
+
+def test_lsh_numpy_replay_matches_sql_oracle(spark, tmp_path_factory):
+    """tools/selfcheck._lsh_pairs_replay — the numpy band replay that
+    stands in for the full-SQL MinHash oracle past
+    LSH_REPLAY_MIN_DOCS (the sf100 battery's pair-family oracle) —
+    must be BIT-IDENTICAL to the SQL chain it replaces, on the real
+    fixture AND on a capped-hot-bucket corpus (the cap path is where
+    a replay would silently diverge). Spark never runs here: this
+    pins oracle-vs-oracle equivalence so the at-scale gate inherits
+    the driver gate's exact contract."""
+    import duckdb
+
+    from tools.selfcheck import _lsh_pairs_replay, dtype_drift, value_hash
+
+    boiler = " ".join(f"boiler token {i % 7} filler" for i in range(12))
+    near_a = (
+        "the migratory patterns of arctic terns span both hemispheres "
+        "covering seventy thousand kilometers in a single year"
+    )
+    near_b = near_a.replace("seventy", "eighty")
+    rows = [(i, boiler, "en", "b", 1) for i in range(200)] + [
+        (200, near_a, "en", "w", 1),
+        (201, near_b, "en", "w", 1),
+    ]
+    d = tmp_path_factory.mktemp("replay")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    for src in (
+        "/root/testdata/sf0.01/documents.parquet",
+        f"{d}/documents.parquet/*.parquet",
+    ):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}')"
+        )
+        sql = con.sql(D._lsh_oracle()).df()
+        rep = _lsh_pairs_replay(con)
+        assert len(sql) == len(rep)
+        assert not dtype_drift(sql, rep)
+        assert value_hash(sql) == value_hash(rep)
+        con.close()

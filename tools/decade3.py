@@ -85,6 +85,29 @@ def main() -> int:
         r = b / a if a > 0 else float("inf")
         print(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x | {r / 10:.2f} |")
 
+    # --- fixed-batch probe receipt (round-7 verdict item 4) -------------
+    # The registered dedup_incremental_persisted probes a batch that
+    # GROWS with the tier (corpus is the fixed doc_id < N_OLD slice),
+    # so its wall tracks the batch. This receipt holds the batch
+    # CONSTANT (50k docs) against the committed index at both tiers:
+    # ~flat walls prove nothing about the index (listing, occupancy,
+    # DPP fan-out) grows with the corpus.
+    from flat_file_social_media_database_engine_spark.workloads import (
+        dedup as D,
+    )
+
+    fixed = {}
+    for sf_dir, tag in ((SF10, "sf10"), (SF100, "sf100")):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            D.dedup_incremental_persisted(
+                spark, sf_dir, batch_hi=D.N_OLD + 50_000
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        fixed[tag] = round(best, 2)
+        print(f"fixed-batch probe (50k) {tag}: {best:.2f}s", flush=True)
+
     # --- ext-ladder ceiling demonstration at 2M vectors -----------------
     from pyspark.sql import functions as F
 
@@ -121,6 +144,7 @@ def main() -> int:
         + json.dumps(
             {
                 "walls": walls,
+                "fixed_batch_probe": fixed,
                 "ceiling": {
                     "n": n_vec,
                     "e": e,
