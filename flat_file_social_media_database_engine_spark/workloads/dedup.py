@@ -446,6 +446,57 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 PREFIX_TAU_NUM, PREFIX_TAU_DEN = 7, 10  # t = 0.7, kept integer-exact
 
+_PREFIX_ROWS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _prefix_rows_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rarest-first PREFIX rows (doc_id, n, h) of the prefix-
+    filter join, materialized ONCE per (application, sf_dir). The
+    self-join's two sides (pa, pb) otherwise RE-DERIVE this whole
+    subtree — df groupBy + annotation join + per-doc rank window over
+    the full exploded shingle table — and at the sf100 tier the
+    doubled exchanges spilled ~40 GB of transient shuffle (round-8
+    decade audit: disk-full abort). Materialized, the self-join reads
+    one ~0.3·corpus-sized table twice with zero re-shuffle.
+
+    ONE explicit hash repartition on the shingle hash feeds BOTH the
+    df groupBy and the annotation join (round-7 verdict item 6: the
+    two pre-join shuffles shared a key) — hashpartitioning(h)
+    satisfies the groupBy's required distribution and the join's left
+    side, so neither inserts another exchange."""
+
+    def build():
+        from pyspark.sql import Window
+
+        sh = _shingle_arrays(spark, sf_dir)
+        e = (
+            sh.filter(F.size("harr") > 0)
+            .select(
+                "doc_id",
+                F.size("harr").cast("bigint").alias("n"),
+                F.explode("harr").alias("h"),
+            )
+            .repartition(F.col("h"))
+        )
+        dfreq = e.groupBy("h").agg(F.count(F.lit(1)).alias("s_df"))
+        w = Window.partitionBy("doc_id").orderBy("s_df", "h")
+        return materialize(
+            e.join(dfreq, "h")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(
+                F.col("rn")
+                <= F.col("n")
+                - F.expr(
+                    f"({PREFIX_TAU_NUM} * n + {PREFIX_TAU_DEN - 1}) "
+                    f"div {PREFIX_TAU_DEN}"
+                )
+                + 1
+            )
+            .select("doc_id", "n", "h")
+        )
+
+    return session_cached(_PREFIX_ROWS_CACHE, spark, sf_dir, build)
+
 
 @query(
     "dedup_prefix_jaccard",
@@ -494,39 +545,7 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional filtering and suffix filtering (PPJoin+) — prunes
     candidates further without changing this plan's shape."""
     sh = _shingle_arrays(spark, sf_dir)
-    # ONE explicit hash repartition on the shingle hash feeds BOTH
-    # the df groupBy and the annotation join (round-7 verdict: the
-    # two pre-join shuffles shared a key) — hashpartitioning(h)
-    # satisfies the groupBy's required distribution and the join's
-    # left side, so neither inserts another exchange.
-    e = (
-        sh.filter(F.size("harr") > 0)
-        .select(
-            "doc_id",
-            F.size("harr").cast("bigint").alias("n"),
-            F.explode("harr").alias("h"),
-        )
-        .repartition(F.col("h"))
-    )
-    dfreq = e.groupBy("h").agg(F.count(F.lit(1)).alias("s_df"))
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("s_df", "h")
-    prefix = (
-        e.join(dfreq, "h")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(
-            F.col("rn")
-            <= F.col("n")
-            - F.expr(
-                f"({PREFIX_TAU_NUM} * n + {PREFIX_TAU_DEN - 1}) "
-                f"div {PREFIX_TAU_DEN}"
-            )
-            + 1
-        )
-        .select("doc_id", "n", "h")
-    )
+    prefix = _prefix_rows_shared(spark, sf_dir)
     pa = prefix.select(
         F.col("doc_id").alias("doc_id_a"), F.col("n").alias("pn_a"), "h"
     )

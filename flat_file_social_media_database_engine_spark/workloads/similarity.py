@@ -1079,17 +1079,20 @@ def sim_neardup_regenerated(
     )
 
 
-# Pinned regeneration width for the DRIVER entry (round-7 verdict
-# item 5: the ceiling-recovery path needs its own green CORRECTNESS
-# row, not just pytest + the decade-3 demo). 15 bits is the width the
-# 2M-vector ceiling demonstration uses (tools/decade3.py) — past the
-# e=7 ext-ladder ceiling, ~32·2^15 buckets keep expected occupancy in
-# the dozens through ~50M vectors. On the small driver fixtures the
-# buckets are simply sparser: genuinely near-dup pairs still collide
-# in ≥1 of the 32 tables with p ≈ 1 − (1 − (1 − θ/π)^15)^32 ≈ 1 at
-# cosine ≥ 0.95, so the entry exercises the full candidate + verify
-# pipeline at every scale with ONE width constant.
-REGEN_BITS = 15
+# Pinned regeneration width/cap for the DRIVER entry (round-7
+# verdict item 5: the ceiling-recovery path needs its own green
+# CORRECTNESS row, not just pytest + the decade-3 demo). bits=18 /
+# cap=8 is the configuration the 2M-vector ceiling demonstration
+# PROVED disk-safe (tools/decade3.py, SCALING.md decade 3): past the
+# e=7 ext-ladder ceiling, 32·2^18 buckets keep occupancy low even on
+# the synthetic tier's same-origin replica cliques, and the tight cap
+# bounds candidate volume at (rows/cap)·C(cap,2). On the small driver
+# fixtures the buckets are simply sparser: a cosine≥0.95 pair still
+# collides in ≥1 of the 32 tables with p = 1−(1−(1−θ/π)^18)^32 ≈
+# 0.99, so the entry exercises the full candidate + verify pipeline
+# at every scale with ONE (width, cap) constant pair.
+REGEN_BITS = 18
+REGEN_CAP = 8
 
 
 def _regen_oracle() -> str:
@@ -1122,7 +1125,7 @@ def _regen_oracle() -> str:
     ),
     sig_ok AS (
       SELECT t, k FROM keyed GROUP BY t, k
-      HAVING count(*) <= {_EMB_BUCKET_CAP}
+      HAVING count(*) <= {REGEN_CAP}
     ),
     sigs_c AS (
       SELECT s.* FROM keyed s JOIN sig_ok ok ON ok.t = s.t AND ok.k = s.k
@@ -1146,14 +1149,14 @@ def sim_neardup_regenerated_pinned(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The regenerated-family near-dup front at the PINNED driver
-    width (``REGEN_BITS`` = 15, cap = the shared hot-bucket constant):
-    what a deployment switches to past the ext ladder's ~2M-vector
-    ceiling, registered so the recovery path has its own driver-green
+    width/cap (``REGEN_BITS`` = 18, ``REGEN_CAP`` = 8): what a
+    deployment switches to past the ext ladder's ~2M-vector ceiling,
+    registered so the recovery path has its own driver-green
     correctness row. Same output contract as ``sim_neardup_lsh``;
-    only the bucket-key family differs. tools/decade3.py's ceiling
-    demonstration calls THIS entry, so the demo and the verified
-    query are one code path."""
-    return sim_neardup_regenerated(spark, sf_dir, REGEN_BITS)
+    only the bucket-key family (and the shuffle-budget cap) differ.
+    tools/decade3.py's ceiling demonstration calls THIS entry, so the
+    demo and the verified query are one code path."""
+    return sim_neardup_regenerated(spark, sf_dir, REGEN_BITS, REGEN_CAP)
 
 
 # ---------------------------------------------------------------------------
