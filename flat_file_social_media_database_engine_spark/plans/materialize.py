@@ -57,24 +57,53 @@ _SESSION_CACHE_LOCK = threading.RLock()
 # its full lineage per action while claiming to be a cached pass.
 _REGISTERED_CACHES: list[dict] = []
 
+# Every temp dir materialize_parquet ever wrote, so reset_session_caches
+# can reclaim the disk: without this, each flagged-query retest in
+# tools/scaling.py rebuilt the corpus-sized span-gram pass into a FRESH
+# mkdtemp and the retest loop accumulated tens of GB (round-8 advisor —
+# the same disk-exhaustion failure mode the sf100 fixes target).
+_PARQUET_DIRS: list[str] = []
+
+
+def _unpersist_value(got) -> None:
+    """Unpersist a cache value: plain DataFrames directly, and every
+    DataFrame found inside tuple/list values (round-8 advisor: the
+    k-means quantizer cache stores tuples; skipping them leaked their
+    persisted blocks across reset, then double-persisted on rebuild)."""
+    if isinstance(got, (tuple, list)):
+        for v in got:
+            _unpersist_value(v)
+        return
+    try:
+        got.unpersist()
+    except Exception:
+        pass
+
 
 def reset_session_caches() -> int:
-    """Empty every session_cached dict (and unpersist what they held)
-    so the next consumer re-runs build() — the REQUIRED companion to
+    """Empty every session_cached dict (unpersisting what they held,
+    including DataFrames nested in tuple values) and delete every
+    materialize_parquet temp dir, so the next consumer re-runs
+    build() from scratch — the REQUIRED companion to
     ``spark.catalog.clearCache()`` in measurement harnesses (round-7
     advisor: clearCache alone turns every memoized shared pass into
     an uncached full-lineage replay on each downstream action).
-    Returns the number of entries dropped."""
+    Frames read back from a deleted parquet pass become invalid —
+    callers must re-fetch through the cache after a reset, which is
+    exactly what the retest harness does. Returns the number of
+    entries dropped."""
+    import shutil
+
     with _SESSION_CACHE_LOCK:
         n = 0
         for cache in _REGISTERED_CACHES:
             for got in cache.values():
-                try:  # plain DataFrames; tuple-valued caches skip
-                    got.unpersist()
-                except Exception:
-                    pass
+                _unpersist_value(got)
             n += len(cache)
             cache.clear()
+        for d in _PARQUET_DIRS:
+            shutil.rmtree(d, ignore_errors=True)
+        _PARQUET_DIRS.clear()
         return n
 
 
@@ -96,6 +125,8 @@ def materialize_parquet(spark, df: DataFrame, prefix: str) -> DataFrame:
     import tempfile
 
     out = tempfile.mkdtemp(prefix=f"sparkgraft_{prefix}_")
+    with _SESSION_CACHE_LOCK:
+        _PARQUET_DIRS.append(out)
     df.write.mode("overwrite").parquet(out)
     return spark.read.schema(df.schema).parquet(out)
 

@@ -44,85 +44,74 @@ def query(name: str, oracle: str | None = None):
 #     round; these absorb the overflow past slot 50.
 # Everything else keeps its module registration order in between.
 _VERIFY_FIRST = [
-    # --- NEW round 8 (first verification): the regenerated-width
-    # near-dup front registered with a pinned REGEN_BITS=15 oracle
-    # (round-7 verdict item 5). ---
-    # --- CHANGED round 8, hash-space shingle refactor: the shared
-    # shingle pass materializes 60-bit hash arrays instead of string
-    # arrays (the decade-3 super-linear fix), so every query whose
-    # oracle composes on the shingle/LSH CTE chain re-verifies under
-    # the new formulation; the span family's removal path moved from
-    # per-token explode+anti-join to doc-level array reconstruction;
-    # the three stateful streaming entries re-verify under the sized
-    # state partitioning (stream_state_partitions). events_stream_
-    # ingest also changed but is r6-green, has no stateful shuffle,
-    # and yielded its slot to the staleness rotation (window holds
-    # exactly 50) — it leads the round-9 rotation. ---
-    "sim_neardup_regenerated",
-    "dedup_ngram_jaccard",
-    "dedup_containment_pairs",
-    "dedup_prefix_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_lsh_recall",
-    "dedup_edit_distance",
-    "dedup_contamination",
-    "dedup_incremental_minhash",
+    # --- CHANGED round 9: dedup_incremental_persisted's probe is now
+    # fully batch-sized (signs docs.filter(bcond) directly, hot cap
+    # from committed band_counts + batch counts, verify against
+    # committed corpus_shingles — verdict item 3);
+    # dedup_prefix_jaccard's verify tail was extracted for the new
+    # disk-bounded pass mode (plan unchanged, re-verify anyway). ---
     "dedup_incremental_persisted",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_pagerank",
-    "dedup_keep_central",
-    "dedup_graph_stats",
-    "dedup_cross_source",
-    "docs_strip_dup_spans",
-    "pipeline_dedup_corpus",
-    "events_stream_attribution",
-    "events_stream_sessionize",
-    "events_stream_clamp",
-    # --- STALENESS ROTATION (round-7 verdict item 7): the 29 queries
-    # whose last driver-green row is round 5 — freshness policy says
-    # nothing staler than 2 rounds. ---
-    "a2_orders_per_customer",
-    "dedup_exact",
-    "dedup_simhash_pairs",
-    "events_hourly_rollup",
-    "events_value_percentiles",
-    "j2_chained_ri_lineitem",
-    "m1_apply_price_deltas",
-    "o1_multikey_sort",
-    "orders_market_basket",
-    "orders_rfm_segments",
-    "p3_filter_project",
-    "p5_point_lookup",
-    "p6_p7_trim_strict_cast",
-    "pipeline_clean_corpus",
-    "pipeline_pretrain_mix",
-    "q1_user_events",
-    "q_pricing_summary",
-    "q_region_revenue",
-    "q_top_revenue_orders",
-    "sample_temperature_mix",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "text_commonness_score",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_source_stats",
-    "text_token_freq",
-]
-_STABLE_TAIL = [
-    # --- r7-green re-confirmations (fresh last round, minus those
-    # pulled into the head by the refactor): absorb the overflow past
-    # slot 50 and lead the round-9 rotation after events_stream_
-    # ingest and the r6-green mid. ---
+    "dedup_prefix_jaccard",
+    # --- STALENESS ROTATION (round-8 verdict item 7): the 42 queries
+    # whose last driver-green row is round 6 — freshness policy says
+    # nothing staler than 2 rounds. events_stream_ingest leads (it
+    # yielded its round-8 slot despite a code touch). ---
+    "events_stream_ingest",
+    "o3_window_suite",
+    "m2_validated_append",
+    "m4_delete_upsert",
+    "m5_snapshot_diff",
+    "s5_snapshot_roundtrip",
+    "s8_rollup_maintenance",
+    "q_above_customer_avg",
+    "a2_orders_cube",
+    "docs_pack_sequences",
+    "sample_train_split",
+    "text_bigram_lm_score",
+    "text_pii_scrub",
+    "dedup_span_exact",
+    "sim_neardup_cosine",
+    "sim_neardup_lsh",
+    "sim_kmeans_assign",
+    "sim_topk_ivf_kmeans",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sim_semantic_dedup",
+    "sim_dim_stats",
+    "events_sessionize",
+    "events_sliding_rollup",
+    "events_sessionize_twophase",
+    "events_retention",
+    "events_range_attribution",
+    "events_pivot_daily",
+    "events_anomaly_zscore",
+    "events_dedup_redelivery",
+    "events_next_transition",
+    "events_daily_gapfill",
+    "events_top_paths",
+    "events_heavy_hitters",
+    "events_bitmap_retention",
+    "events_interarrival_stats",
+    "events_session_stats",
+    "events_dau_rolling",
+    "mm_payload_stats",
+    "mm_decode_features",
+    "mm_resize_stats",
+    "mm_frame_stats",
+    # --- r7-cohort fills: the window holds exactly 50; these six are
+    # the head of the r7-green cohort (next-oldest after the r6 set),
+    # pulled forward so the round-10 rotation owes 29, not 35. ---
     "sim_pca_project",
     "sim_modality_coverage",
     "sim_topk_lsh",
     "sim_topk_lsh_multiprobe",
     "sim_recall_audit",
     "sim_topk_ivf_persisted",
+]
+_STABLE_TAIL = [
+    # --- r7-green remainder: leads the round-10 rotation (they will
+    # be 2 rounds stale after this round — at the policy limit). The
+    # r8-green cohort keeps module registration order in the mid. ---
     "dedup_source_stats",
     "dedup_incremental",
     "dedup_bloom_prefilter",

@@ -600,17 +600,31 @@ def test_incremental_persisted_matches_session_path_and_prunes(
     )
     assert batch_buckets < D.BAND_INDEX_BUCKETS
     # corpus side spans >1 bucket, so some directories are never read
-    idx = D._band_index_committed(spark, str(d))
+    committed = D._band_index_committed(spark, str(d))
+    idx = committed["band_index"]
     assert idx.select("band_bucket").distinct().count() > batch_buckets // 16
+    # the co-committed probe metadata agrees with the index itself
+    counts = {
+        r["band_key"]: r["c_idx"]
+        for r in committed["band_counts"].collect()
+    }
+    got_counts = {
+        r["band_key"]: r["count"]
+        for r in idx.groupBy("band_key").count().collect()
+    }
+    assert counts == got_counts
+    assert committed["corpus_shingles"].count() == 2  # corpus docs
 
     # durable artifact: a versioned SnapshotStore with fsync'd manifest
     paths, _ = D._BAND_INDEX_CACHE[
         (spark.sparkContext.applicationId, str(d))
-    ]
+    ]["band_index"]
     root = os.path.dirname(os.path.dirname(paths[0]))
     store = SnapshotStore(spark, root)
     assert store.current_version() == 1
     assert "band_index" in store.tables()
+    assert "band_counts" in store.tables()
+    assert "corpus_shingles" in store.tables()
 
 
 def test_hot_bucket_cap_bounds_boilerplate_blowup(spark, tmp_path_factory):
@@ -842,6 +856,41 @@ def test_prefix_jaccard_survives_hub_shingle(spark, tmp_path_factory):
     want = _prefix_jaccard_model(texts_by_id(rows), D.SHINGLE_K)
     assert set(got) == set(want)
     assert (50, 51) in got  # the rare-tail near-dup survived the filter
+
+
+def test_prefix_jaccard_bounded_passes_match_single_pass(
+    spark, tmp_path_factory
+):
+    """The disk-bounded pass decomposition (pmod(h, passes) key-space
+    slices, one action per slice) must be EXACTLY the single-pass
+    answer — pairs whose shared prefix shingles span multiple residue
+    classes are emitted by several passes and collapsed by the
+    distinct, never duplicated or dropped. Corpus is built so near-dup
+    pairs share MANY shingles (hash residues certainly span classes)."""
+    payload = " ".join(f"token{i} word{i}" for i in range(30))
+    rows = [
+        (0, f"{payload} alpha", "en", "s", 1),
+        (1, f"{payload} beta", "en", "s", 1),
+        (2, f"{payload} gamma", "en", "s", 1),
+        (3, "entirely different text about other matters and things "
+            "with no overlap whatsoever in any shingle", "en", "s", 1),
+    ]
+    d = tmp_path_factory.mktemp("prefixbounded")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    single = sorted(
+        map(tuple, D.dedup_prefix_jaccard(spark, str(d)).collect())
+    )
+    bounded = sorted(
+        map(
+            tuple,
+            D.dedup_prefix_jaccard_bounded(spark, str(d), passes=4).collect(),
+        )
+    )
+    assert single == bounded
+    assert len(single) >= 3  # the 3 near-dup pairs among docs 0/1/2
 
 
 def texts_by_id(rows) -> list[str]:

@@ -133,11 +133,16 @@ def main() -> int:
     t_ladder = time.time() - t0
     print(f"ladder front pairs={n_ladder} [{t_ladder:.1f}s]")
     t0 = time.time()
-    # the DRIVER-registered pinned entry (REGEN_BITS=15) — demo and
-    # verified query are one code path (round-7 verdict item 5)
+    # the DRIVER-registered pinned entry — demo and verified query are
+    # one code path (round-7 verdict item 5); label/JSON carry the
+    # module's actual pinned constants so the measurement can never be
+    # attributed to a stale configuration (round-8 advisor)
     n_regen = S.sim_neardup_regenerated_pinned(spark, SF100).count()
     t_regen = time.time() - t0
-    print(f"regenerated(bits=15) pairs={n_regen} [{t_regen:.1f}s]")
+    print(
+        f"regenerated(bits={S.REGEN_BITS},cap={S.REGEN_CAP}) "
+        f"pairs={n_regen} [{t_regen:.1f}s]"
+    )
 
     print(
         "DECADE3_JSON "
@@ -155,6 +160,8 @@ def main() -> int:
                     "ladder_wall": round(t_ladder, 1),
                     "regen_pairs": n_regen,
                     "regen_wall": round(t_regen, 1),
+                    "regen_bits": S.REGEN_BITS,
+                    "regen_cap": S.REGEN_CAP,
                 },
             }
         )

@@ -69,7 +69,21 @@ CC_UNIONFIND_MIN_DOCS = 10_000
 # with DuckDB doing the relational half and numpy the dense half.
 LSH_REPLAY_MIN_DOCS = 10_000
 
-_LSH_REPLAY_CACHE: dict[int, "pd.DataFrame"] = {}
+# Keyed by a CONTENT fingerprint of the documents table, not id(con):
+# CPython reuses object ids after GC, so a closed-then-reopened
+# connection over a DIFFERENT corpus could silently hit a stale entry
+# (round-8 advisor). count+sum+min+max of doc_id plus total text bytes
+# is cheap (one scan) and changes whenever the corpus does.
+_LSH_REPLAY_CACHE: dict[tuple, "pd.DataFrame"] = {}
+
+
+def _docs_fingerprint(con) -> tuple:
+    return tuple(
+        con.sql(
+            "SELECT count(*), sum(doc_id), min(doc_id), max(doc_id), "
+            "sum(length(text)) FROM documents"
+        ).fetchone()
+    )
 
 
 def _lsh_pairs_replay(con) -> pd.DataFrame:
@@ -97,7 +111,7 @@ def _lsh_pairs_replay(con) -> pd.DataFrame:
         ROWS_PER_BAND,
     )
 
-    key = id(con)
+    key = _docs_fingerprint(con)
     if key in _LSH_REPLAY_CACHE:
         return _LSH_REPLAY_CACHE[key]
 
@@ -125,13 +139,21 @@ def _lsh_pairs_replay(con) -> pd.DataFrame:
     pair_set: set[tuple[int, int]] = set()
     for band in range(BANDS):
         m = mins[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-        k1 = (m[0] << 31) | m[1]
-        k2 = (m[2] << 31) | m[3]
-        order = np.lexsort((k2, k1), )
-        k1s, k2s = k1[order], k2[order]
+        # pack pairs of <2^30 mins into int64 keys GENERICALLY over
+        # ROWS_PER_BAND (round-8 advisor: the 4-row packing was
+        # hardcoded); an odd trailing row stands alone. Equality of
+        # the packed tuple == equality of the band signature.
+        ks = [
+            (m[i] << 31) | m[i + 1] if i + 1 < ROWS_PER_BAND else m[i]
+            for i in range(0, ROWS_PER_BAND, 2)
+        ]
+        order = np.lexsort(tuple(reversed(ks)))
+        kss = [k[order] for k in ks]
         new_grp = np.empty(len(docs), dtype=bool)
         new_grp[0] = True
-        new_grp[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+        new_grp[1:] = np.logical_or.reduce(
+            [k[1:] != k[:-1] for k in kss]
+        )
         bounds = np.flatnonzero(new_grp)
         sizes = np.diff(np.append(bounds, len(docs)))
         ds = docs[order]
@@ -141,7 +163,7 @@ def _lsh_pairs_replay(con) -> pd.DataFrame:
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
                     pair_set.add((members[i], members[j]))
-        del order, k1s, k2s, ds
+        del order, kss, ds
 
     # exact-Jaccard verification on candidate docs' FULL-WIDTH
     # shingle-hash sets, sliced out of the already-loaded table
