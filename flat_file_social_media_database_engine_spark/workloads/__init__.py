@@ -52,6 +52,10 @@ _VERIFY_FIRST = [
     # disk-bounded pass mode (plan unchanged, re-verify anyway). ---
     "dedup_incremental_persisted",
     "dedup_prefix_jaccard",
+    # exact medians rewritten onto rank_select (the builtin median's
+    # value-buffering aggregate OOM'd the sf100 battery) — re-verify
+    "a5_median_totalprice",
+    "a5_approx_median",
     # --- STALENESS ROTATION (round-8 verdict item 7): the 42 queries
     # whose last driver-green row is round 6 — freshness policy says
     # nothing staler than 2 rounds. events_stream_ingest leads (it
@@ -98,20 +102,20 @@ _VERIFY_FIRST = [
     "mm_decode_features",
     "mm_resize_stats",
     "mm_frame_stats",
-    # --- r7-cohort fills: the window holds exactly 50; these six are
+    # --- r7-cohort fills: the window holds exactly 50; these four are
     # the head of the r7-green cohort (next-oldest after the r6 set),
-    # pulled forward so the round-10 rotation owes 29, not 35. ---
+    # pulled forward so the round-10 rotation owes 31, not 35. ---
     "sim_pca_project",
     "sim_modality_coverage",
     "sim_topk_lsh",
     "sim_topk_lsh_multiprobe",
-    "sim_recall_audit",
-    "sim_topk_ivf_persisted",
 ]
 _STABLE_TAIL = [
     # --- r7-green remainder: leads the round-10 rotation (they will
     # be 2 rounds stale after this round — at the policy limit). The
     # r8-green cohort keeps module registration order in the mid. ---
+    "sim_recall_audit",
+    "sim_topk_ivf_persisted",
     "dedup_source_stats",
     "dedup_incremental",
     "dedup_bloom_prefilter",
@@ -126,8 +130,6 @@ _STABLE_TAIL = [
     "a3_approx_distinct",
     "a3_distinct_counts",
     "a4_existence_checks",
-    "a5_approx_median",
-    "a5_median_totalprice",
     "dedup_simhash",
     "e1_intersect_custkeys",
     "e2_except_custkeys",

@@ -280,9 +280,42 @@ def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a5_median_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "orders").agg(
-        F.round(F.median("o_totalprice"), 4).alias("median_totalprice"),
-        F.round(F.median("o_orderkey"), 4).alias("median_orderkey"),
+    """EXACT medians by rank-select, not by ``F.median``.
+
+    Why not the builtin: Spark's exact ``median``/``percentile``
+    aggregate buffers EVERY value in its aggregation buffer (an
+    OpenHashMap of value → count, merged into one final buffer) — at
+    the sf100 audit tier (150M orders) the round-9 battery watched
+    that buffer grind a 40 GB heap to an OOM'd SparkContext. The
+    engine already owns the scale-safe exact machinery
+    (``operators.rankselect``, the events_value_percentiles path):
+    one range exchange + one map-side-combined count pass LOCATE the
+    two middle ranks, and only the one partition slice holding them
+    is locally sorted — O(partitions) driver state, no value buffer
+    anywhere. Median = mean of the floor/ceil middle ranks (n even →
+    average of the two central values), matching DuckDB's
+    interpolating ``median`` and the old builtin bit-for-bit on the
+    fixtures. Empty table → null cuts → null medians, same as the
+    oracle (pinned by the zero-row differential suite)."""
+    from ..operators.rankselect import rank_select
+
+    orders = read_table(spark, sf_dir, "orders")
+    cuts = {
+        "lo": lambda n: (n + F.lit(1)) / 2,  # bigint cast → floor
+        "hi": lambda n: (n + F.lit(2)) / 2,  # floor((n+2)/2) = ceil((n+1)/2)
+    }
+
+    def med(df: DataFrame, col: str, order_cols: list[str]):
+        picked = rank_select(df, [], order_cols, cuts)
+        return picked.select(
+            F.round(
+                (F.col(f"lo.{col}") + F.col(f"hi.{col}")) / 2, 4
+            ).alias(f"median_{col.split('_', 1)[1]}")
+        )
+
+    # two 1-row selects; the crossJoin is a 1×1 broadcast
+    return med(orders, "o_totalprice", ["o_totalprice", "o_orderkey"]).crossJoin(
+        med(orders, "o_orderkey", ["o_orderkey"])
     )
 
 
@@ -785,14 +818,32 @@ _A5_TOL = 0.01  # accepted |approx - exact| / exact
     """,
 )
 def a5_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact verdict; the EXACT side reuses the rank-select
+    median (see a5_median_totalprice — the builtin ``median``'s
+    value-buffering aggregate OOMs at the sf100 audit tier), the
+    sketch side stays the fixed-size map-side-combined
+    percentile_approx whose accuracy the verdict column audits."""
+    from ..operators.rankselect import rank_select
+
+    orders = read_table(spark, sf_dir, "orders")
+    exact = rank_select(
+        orders,
+        [],
+        ["o_totalprice", "o_orderkey"],
+        {
+            "lo": lambda n: (n + F.lit(1)) / 2,
+            "hi": lambda n: (n + F.lit(2)) / 2,
+        },
+    ).select(
+        ((F.col("lo.o_totalprice") + F.col("hi.o_totalprice")) / 2).alias("m")
+    )
+    approx = read_table(spark, sf_dir, "orders").agg(
+        F.percentile_approx(
+            "o_totalprice", F.lit(0.5), F.lit(_A5_ACCURACY)
+        ).alias("ma"),
+    )
     return (
-        read_table(spark, sf_dir, "orders")
-        .agg(
-            F.median("o_totalprice").alias("m"),
-            F.percentile_approx(
-                "o_totalprice", F.lit(0.5), F.lit(_A5_ACCURACY)
-            ).alias("ma"),
-        )
+        exact.crossJoin(approx)  # two 1-row frames
         .select(
             F.round("m", 4).alias("median_exact"),
             # empty table → both medians NULL → trivially within

@@ -133,6 +133,12 @@ def _lsh_pairs_replay(con) -> pd.DataFrame:
     mins = np.empty((len(_AB), len(docs)), dtype=np.int64)
     for i, (a, b) in enumerate(_AB):  # a, g < P ≈ 2^30 → a*g+b < 2^63
         mins[i] = np.minimum.reduceat((a * g + b) % _P, starts)
+    # g (8 B × corpus shingles — 2 GB at sf100) is dead past the mins;
+    # free it before the band loop so the replay's peak stays bounded
+    # next to the co-resident JVM (the r9 battery measured the full
+    # process mix OOM-killing the SparkContext without this class of
+    # hygiene — SCALING.md battery protocol)
+    del g
 
     # band buckets: count EVERY bucket (cap is on total size), then
     # emit pairs only from buckets of 2..cap members
@@ -252,6 +258,11 @@ def main() -> int:
 
     spark = build_session("selfcheck")
     con = duckdb.connect()
+    # Bound the oracle engine: DuckDB's default memory ceiling is a
+    # fraction of HOST RAM, which it cannot have when a 40 GB JVM and
+    # the numpy replay share the box — unbounded, the sf100 battery's
+    # process mix tripped the OOM killer mid-run (it spills fine).
+    con.execute("SET memory_limit='24GB'")
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
