@@ -179,10 +179,14 @@ REVIEW_NOTES = {
         "deployment runs"
     ),
     "dedup_incremental_persisted": (
-        "the measured wall includes the one-off index BUILD (grows "
-        "with the corpus, amortized across every later batch); the "
-        "probe itself is batch-bound — decade-3 receipts: warm 5k-doc "
-        "probe 6.4 s -> 14.1 s against a 10x larger committed index"
+        "round-9 shape: every input is batch-sized or committed "
+        "metadata (batch docs signed directly off the filtered scan, "
+        "hot cap from committed band_counts + batch counts, verify "
+        "against committed corpus_shingles) — the wall tracks the "
+        "BATCH, which on the synthetic tiers is everything past the "
+        "fixed 400-doc corpus and therefore grows with the tier; the "
+        "constant-batch receipt (tools/round9_sf100.py) isolates the "
+        "probe itself"
     ),
     "sim_pca_project": (
         "two single scans (integer moment pass, literal-vector "
