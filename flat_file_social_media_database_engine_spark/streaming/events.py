@@ -495,11 +495,17 @@ def stream_state_partitions() -> int:
     join keeps four per partition), and every micro-batch pays a
     commit/snapshot per store regardless of data volume — measured on
     ``events_stream_attribution`` at sf0.1: 7.5 s warm at 32
-    partitions vs 2.5 s at 8, identical 371-row result. Batch plans
-    are untouched: with AQE's ``initialPartitionNum`` they never read
-    ``shuffle.partitions``. At 100 TB this knob grows with stream
-    volume exactly like batch reducer counts — the deployment sets it
-    per query; the env override is that dial here."""
+    partitions vs 2.5 s at 8, identical 371-row result; and round-9
+    on ``events_stream_sessionize`` under BOTH drain shapes
+    (tools/stream_knob.py): single-batch 2.45/1.72/2.02/2.77 s and
+    7-micro-batch production shape 4.13/4.30/5.49/8.43 s across
+    4/8/16/32 partitions, identical rows at every point — 8 is the
+    single-shape optimum and within noise of the multi-shape one.
+    Batch plans are untouched: with AQE's ``initialPartitionNum``
+    they never read ``shuffle.partitions``. At 100 TB this knob
+    grows with stream volume exactly like batch reducer counts — the
+    deployment sets it per query; the env override is that dial
+    here."""
     return int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
 

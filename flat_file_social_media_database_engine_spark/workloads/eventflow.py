@@ -1668,7 +1668,21 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     history (the skew answer to the batch twin's unsplittable hot-user
     window); the sink is append-only files; nothing collects to the
     driver. Session-cached like every streaming entry so the driver's
-    repeated invocations run the stream once."""
+    repeated invocations run the stream once.
+
+    State-partition receipt (round-9, tools/stream_knob.py — the
+    sessionize twin of attribution's 7.5→2.5 s curve, measured under
+    BOTH drain shapes at sf0.1, min-of-2 cold streams, identical
+    95,465-row result at every point): single-batch drain 2.45 s at
+    4 state partitions / 1.72 s at 8 / 2.02 s at 16 / 2.77 s at 32;
+    multi-batch production shape (5 weekly files + 2 sentinels,
+    maxFilesPerTrigger=1 → 7 micro-batches) 4.13 / 4.30 / 5.49 /
+    8.43 s. The default of 8 (stream_state_partitions) is the
+    single-shape optimum and within noise of the multi-shape optimum;
+    the multi-batch walls grow ~linearly in partition count past 8
+    because EVERY micro-batch commits one snapshot per state store —
+    the same lesson as attribution, now measured on the
+    state-finalization path too."""
 
     def build() -> DataFrame:
         from ..streaming.events import (
