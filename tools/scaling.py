@@ -201,7 +201,10 @@ REVIEW_NOTES = {
         "(cost/row 0.91), linear with little headroom, the expected "
         "price of EXACT similarity next to the ~6x-cheaper MinHash "
         "front; candidates stay bounded by the rarest-first prefix "
-        "order (the stopword-df^2 blowup cannot occur)"
+        "order (the stopword-df^2 blowup cannot occur). Round-9: the "
+        "disk-bounded pass mode (dedup_prefix_jaccard_bounded, "
+        "pmod-key-space slices) completes sf100 in 174.6 s within "
+        "disk budget — SCALING.md prefix-boundary receipt"
     ),
     "dedup_pagerank": (
         "8 iterations over the LSH-bounded pair graph: wall tracks "
