@@ -129,6 +129,9 @@ EXCLUDED = {
     # family's honest cold cost in the headline.
     "events_stream_clamp": "streaming; family cold cost carried by benched stream entries",
     "events_stream_ingest": "streaming snapshot ingest; same",
+    "docs_stream_ingest_dedup": "streaming; probe cost benched via "
+    "dedup_incremental_persisted, stream overhead via the two benched "
+    "stream entries",
     # -- intentionally-quadratic verify baselines, kept out of the
     # headline so the bench grades the scale path, not the oracle aid.
     "sim_neardup_cosine": "N^2 brute-force baseline; scale path sim_neardup_lsh is benched",

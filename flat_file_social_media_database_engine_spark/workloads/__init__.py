@@ -50,6 +50,10 @@ _VERIFY_FIRST = [
     # committed corpus_shingles — verdict item 3);
     # dedup_prefix_jaccard's verify tail was extracted for the new
     # disk-bounded pass mode (plan unchanged, re-verify anyway). ---
+    # --- NEW round 9 (first verification): the streaming ingest
+    # classifier (foreachBatch probe of the committed band index,
+    # exactly-once batch-marker sink, corpus-only-cap contract). ---
+    "docs_stream_ingest_dedup",
     "dedup_incremental_persisted",
     "dedup_prefix_jaccard",
     # exact medians rewritten onto rank_select (the builtin median's
@@ -102,18 +106,18 @@ _VERIFY_FIRST = [
     "mm_decode_features",
     "mm_resize_stats",
     "mm_frame_stats",
-    # --- r7-cohort fills: the window holds exactly 50; these four are
-    # the head of the r7-green cohort (next-oldest after the r6 set),
-    # pulled forward so the round-10 rotation owes 31, not 35. ---
+    # --- r7-cohort fills: the window holds exactly 50; these three
+    # are the head of the r7-green cohort (next-oldest after the r6
+    # set), pulled forward so the round-10 rotation owes 32, not 35. ---
     "sim_pca_project",
     "sim_modality_coverage",
     "sim_topk_lsh",
-    "sim_topk_lsh_multiprobe",
 ]
 _STABLE_TAIL = [
     # --- r7-green remainder: leads the round-10 rotation (they will
     # be 2 rounds stale after this round — at the policy limit). The
     # r8-green cohort keeps module registration order in the mid. ---
+    "sim_topk_lsh_multiprobe",
     "sim_recall_audit",
     "sim_topk_ivf_persisted",
     "dedup_source_stats",

@@ -859,10 +859,11 @@ def _band_candidates_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_ctes() -> str:
-    """All CTEs of the MinHash-LSH pipeline, ending in ``lsh_pairs``
-    (the verified near-dup pair set) — shared by the pair query's
-    oracle and the clustering query's recursive oracle."""
+def _bands_ctes() -> str:
+    """The SIGNATURE half of the MinHash-LSH oracle chain, ending in
+    the exploded ``bands`` (doc_id, band, band_key) table — shared by
+    the full pair chain below and the streaming-ingest oracle (whose
+    hot-bucket cap keys on corpus occupancy only)."""
     mins = ", ".join(
         f"min(({a} * g + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(_AB)
     )
@@ -890,7 +891,14 @@ def _lsh_pairs_ctes() -> str:
     sig AS (
       SELECT doc_id, {band_keys} FROM sigm
     ),
-    bands AS MATERIALIZED ({band_rows}),
+    bands AS MATERIALIZED ({band_rows})"""
+
+
+def _lsh_pairs_ctes() -> str:
+    """All CTEs of the MinHash-LSH pipeline, ending in ``lsh_pairs``
+    (the verified near-dup pair set) — shared by the pair query's
+    oracle and the clustering query's recursive oracle."""
+    return f"""{_bands_ctes()},
     bands_ok AS (
       SELECT band, band_key FROM bands
       GROUP BY band, band_key
@@ -2130,6 +2138,183 @@ def dedup_incremental_persisted(
         cand,
         sh_corpus=committed["corpus_shingles"],
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING ingest dedup: the probe family's production shape made a
+# Structured Streaming entry. Document batches arrive as a file
+# stream; each micro-batch is classified against the COMMITTED corpus
+# band index inside foreachBatch and appended EXACTLY-ONCE (the
+# SnapshotStore batch-marker sink of streaming/ingest.py — a replayed
+# batch after a crash is a no-op) to a durable results table.
+#
+# Contract: classification is per-doc against the committed corpus
+# ONLY, with the hot-bucket cap keyed on COMMITTED-CORPUS occupancy —
+# the only occupancy an online system knows at arrival. That makes
+# the answer a pure function of (corpus index, the single doc):
+# batch-partitioning-independent, redelivery-safe, and exactly
+# SQL-replayable (oracle below). The offline twins key their cap on
+# corpus+batch (dedup_incremental_persisted) / the full table
+# (dedup_incremental_minhash); the three flavors agree whenever no
+# bucket crosses the cap only under summed-batch occupancy — the
+# fixtures' buckets max out at 4 docs vs CAP=64, and the streaming
+# flavor's own cap semantics are pinned by an adversarial pytest.
+# ---------------------------------------------------------------------------
+def _stream_ingest_oracle() -> str:
+    return f"""
+    {_bands_ctes()},
+    corpus_ok AS (
+      -- hot-bucket cap on COMMITTED-CORPUS occupancy only (see the
+      -- contract note): buckets the committed index lists more than
+      -- CAP times are degenerate collisions, dropped from probing
+      SELECT band, band_key FROM bands WHERE doc_id < {N_OLD}
+      GROUP BY band, band_key
+      HAVING count(*) <= {HOT_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_doc_id, p.doc_id
+      FROM bands c
+      JOIN corpus_ok k ON k.band = c.band AND k.band_key = c.band_key
+      JOIN bands p ON p.band = c.band AND p.band_key = c.band_key
+      WHERE c.doc_id < {N_OLD} AND p.doc_id >= {N_OLD}
+    ),
+    verified AS (
+      SELECT c.doc_id, c.corpus_doc_id, count(*) AS common
+      FROM cand c
+      JOIN e ea ON ea.doc_id = c.doc_id
+      JOIN e eb ON eb.doc_id = c.corpus_doc_id AND eb.h = ea.h
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT v.doc_id, v.corpus_doc_id,
+             v.common / (nn.n_shingles + nc.n_shingles - v.common)
+                 AS jaccard
+      FROM verified v
+      JOIN sizes nn ON nn.doc_id = v.doc_id
+      JOIN sizes nc ON nc.doc_id = v.corpus_doc_id
+      WHERE v.common / (nn.n_shingles + nc.n_shingles - v.common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+      SELECT doc_id, corpus_doc_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jaccard DESC, corpus_doc_id) AS rn
+      FROM scored
+    )
+    SELECT d.doc_id,
+           b.corpus_doc_id AS matched_doc_id,
+           b.jaccard AS best_jaccard,
+           CASE WHEN b.corpus_doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+                ELSE 'unique' END AS status
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    WHERE d.doc_id >= {N_OLD}
+    """
+
+
+def _probe_classify_batch(
+    spark: SparkSession, sf_dir: str, batch_docs: DataFrame
+) -> DataFrame:
+    """Classify ONE ingest batch (doc_id, text, ...) against the
+    committed corpus artifacts — the per-micro-batch body of the
+    streaming entry. Everything is sized to the batch or committed
+    metadata: Arrow shingle+band signing over the batch rows, the
+    corpus-occupancy hot-key set broadcast against the batch bands,
+    the DPP-prunable index probe, exact-Jaccard verify against
+    committed corpus_shingles."""
+    committed = _band_index_committed(spark, sf_dir)
+    sh_b = batch_docs.select("doc_id", _shingles_udf()("text").alias("harr"))
+    hot = committed["band_counts"].filter(
+        F.col("c_idx") > HOT_BUCKET_CAP
+    ).select("band_key")
+    batch = _band_table(sh_b).join(
+        F.broadcast(hot), "band_key", "left_anti"
+    ).withColumn("band_bucket", _band_bucket(F.col("band_key")))
+    cand = (
+        committed["band_index"]
+        .join(
+            batch.select("doc_id", "band_key", "band_bucket"),
+            ["band_bucket", "band_key"],
+        )
+        .select("doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    return _inc_best_match(
+        batch_docs, sh_b, cand, sh_corpus=committed["corpus_shingles"]
+    )
+
+
+_STREAM_INGEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query("docs_stream_ingest_dedup", oracle=_stream_ingest_oracle())
+def docs_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup classification of a document-ingest STREAM against the
+    committed corpus band index — the never-re-dedup-the-corpus shape
+    run end-to-end on the streaming path: file-source batches →
+    foreachBatch probe (``_probe_classify_batch``) → exactly-once
+    append into a durable SnapshotStore results table (batch-marker
+    sink: crash-replayed batches are no-ops), then the table read
+    back. Per-doc classification is batch-independent by contract
+    (corpus-only cap — see the section note), so the union over
+    micro-batches equals the one-shot answer regardless of how the
+    stream was chopped, which is also what makes redelivery safety
+    testable row-for-row.
+
+    Scale posture: each micro-batch pays one Arrow signing pass over
+    its own rows + one DPP-pruned probe of the committed index + a
+    candidate-sized verify; state is the stream checkpoint and the
+    store manifest — no stateful shuffle at all (the operator is
+    stateless per batch), so stream_state_partitions is irrelevant
+    here. At 100 TB this is the admission filter in front of the
+    training corpus: the index is rebuilt per corpus version offline,
+    batches classify in O(batch) forever."""
+
+    def build() -> DataFrame:
+        import hashlib
+        import os as _os
+        import tempfile as _tf
+
+        from ..plans.snapshots import SnapshotStore, index_root
+        from ..streaming.docs import stage_documents_batches
+        from ..streaming.ingest import make_batch_sink
+        from ..schemas import FIXTURE_SCHEMAS
+
+        out_schema = (
+            "doc_id bigint, matched_doc_id bigint, "
+            "best_jaccard double, status string"
+        )
+        stage, n_files = stage_documents_batches(spark, sf_dir)
+        if n_files == 0:  # no new docs → no batches → empty result
+            return spark.createDataFrame([], out_schema)
+        digest = hashlib.sha256(
+            f"{spark.sparkContext.applicationId}\x00{sf_dir}".encode()
+        ).hexdigest()[:16]
+        root = f"{index_root(spark, 'ingest_dedup')}/res_{digest}"
+        store = SnapshotStore(spark, root)
+        sink = make_batch_sink(store, "ingest_dedup", stream_id="docs")
+
+        def classify_sink(batch_df: DataFrame, batch_id: int) -> None:
+            sink(_probe_classify_batch(spark, sf_dir, batch_df), batch_id)
+
+        stream = (
+            spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        ckpt = _tf.mkdtemp(prefix="ingest_dedup_ckpt_")
+        q = (
+            stream.writeStream.foreachBatch(classify_sink)
+            .option("checkpointLocation", _os.path.join(ckpt, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return store.read("ingest_dedup").select(
+            "doc_id", "matched_doc_id", "best_jaccard", "status"
+        )
+
+    return session_cached(_STREAM_INGEST_CACHE, spark, sf_dir, build)
 
 
 # ---------------------------------------------------------------------------

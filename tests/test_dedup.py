@@ -627,6 +627,91 @@ def test_incremental_persisted_matches_session_path_and_prunes(
     assert "corpus_shingles" in store.tables()
 
 
+def test_stream_ingest_dedup_batch_independent_and_exactly_once(
+    spark, tmp_path_factory
+):
+    """The streaming ingest classifier: (a) the streamed multi-batch
+    result equals the one-shot classification of all new docs (the
+    corpus-only-cap contract makes per-doc answers independent of how
+    the stream was chopped), (b) a crash-replayed batch id is a no-op
+    in the results store (exactly-once), (c) a corpus-side HOT bucket
+    (occupancy > HOT_BUCKET_CAP in the committed index) suppresses
+    probing — its batch twin classifies 'unique' (exact dedup's job),
+    while a small-bucket near-dup still matches."""
+    from flat_file_social_media_database_engine_spark.plans.snapshots import (
+        SnapshotStore,
+    )
+
+    boiler = (
+        "subscribe to our newsletter terms of service privacy policy "
+        "all rights reserved contact us about careers press kit"
+    )
+    rows = [(i, boiler, "en", "b", 1) for i in range(D.HOT_BUCKET_CAP + 1)]
+    rows += [
+        (390, BASE, "en", "s", 1),
+        (450, boiler, "en", "s", 1),  # hot-bucket twin → 'unique'
+        (451, BASE.replace("warm", "cold"), "en", "s", 1),  # near-dup
+        (452, "entirely novel content unlike anything else present "
+              "anywhere with many fresh words to shingle", "en", "s", 1),
+    ]
+    d = tmp_path_factory.mktemp("streamingest")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           D.docs_stream_ingest_dedup(spark, str(d)).collect()}
+    assert set(got) == {450, 451, 452}
+    assert got[450]["status"] == "unique"  # hot corpus bucket capped
+    assert got[451]["status"] == "near_dup_of_corpus"
+    assert got[451]["matched_doc_id"] == 390
+    assert got[452]["status"] == "unique"
+
+    # (a) one-shot classification of the same new docs, no streaming
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    oneshot = {
+        r["doc_id"]: r
+        for r in D._probe_classify_batch(
+            spark, str(d),
+            read_table(spark, str(d), "documents").filter(
+                F.col("doc_id") >= D.N_OLD
+            ),
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in oneshot.items()
+    }
+
+    # (b) redelivery: replaying the LAST committed batch id must be a
+    # no-op on the results store
+    import glob
+
+    from flat_file_social_media_database_engine_spark.plans.snapshots import (
+        index_root,
+    )
+    from flat_file_social_media_database_engine_spark.streaming.ingest import (
+        make_batch_sink,
+    )
+
+    roots = glob.glob(f"{index_root(spark, 'ingest_dedup')}/res_*")
+    store = next(
+        SnapshotStore(spark, r)
+        for r in roots
+        if "ingest_dedup" in SnapshotStore(spark, r).tables()
+        and SnapshotStore(spark, r).read("ingest_dedup").count() == 3
+    )
+    v = store.current_version()
+    last = store.meta()["stream::docs::ingest_dedup"]
+    sink = make_batch_sink(store, "ingest_dedup", stream_id="docs")
+    sink(D.docs_stream_ingest_dedup(spark, str(d)).limit(1), last)
+    assert store.current_version() == v  # replay was a no-op
+    assert store.read("ingest_dedup").count() == 3
+
+
 def test_hot_bucket_cap_bounds_boilerplate_blowup(spark, tmp_path_factory):
     """A boilerplate cluster (200 identical docs -> identical MinHash
     signatures -> 16 hot buckets) must NOT quadratically explode the
