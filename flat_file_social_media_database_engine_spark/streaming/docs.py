@@ -44,7 +44,9 @@ def stage_documents_batches(
     from ..workloads.dedup import N_OLD
 
     src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    tag = _source_tag(f"docbatch{n_batches}", src)
+    # rg4m in the tag: stage layout is part of the content key, so the
+    # row-group-size change below invalidates stages written before it
+    tag = _source_tag(f"docbatch{n_batches}rg4m", src)
     stage = os.path.join(tempfile.gettempdir(), f"docs_ingest_{tag}")
     if os.path.isdir(stage):
         return stage, len(
@@ -85,7 +87,18 @@ def stage_documents_batches(
                 part = part.filter(F.col("doc_id") <= hi)
             lo = hi
             sub = os.path.join(tmp, f".w{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            # small row groups, deliberately: a coalesce(1) write
+            # defaults to one ~128MB row group per file, and parquet
+            # byte-range splits assign each row group to the ONE split
+            # holding its midpoint — so the stream's scan saw 4 splits
+            # but every row in one of them, and the CPU-heavy Arrow
+            # signing ran single-threaded per micro-batch (measured:
+            # the (3+1)/4 straggler stage dominating the sf10 wall).
+            # 4MB groups spread rows across all byte-range splits with
+            # zero added exchange.
+            part.coalesce(1).write.option(
+                "parquet.block.size", 4 * 1024 * 1024
+            ).mode("overwrite").parquet(sub)
             (src_part,) = glob.glob(os.path.join(sub, "part-*.parquet"))
             dst = os.path.join(tmp, f"{i:03d}_batch.parquet")
             shutil.move(src_part, dst)
