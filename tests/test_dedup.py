@@ -1164,3 +1164,49 @@ def test_lsh_numpy_replay_matches_sql_oracle(spark, tmp_path_factory):
         assert not dtype_drift(sql, rep)
         assert value_hash(sql) == value_hash(rep)
         con.close()
+
+
+def test_pair_substituted_oracles_match_full_sql():
+    """tools/selfcheck.pair_substituted_oracle — the generic rewrite
+    that lets every downstream pair consumer's sf100 battery row ride
+    the numpy band replay — must (a) produce hash-identical results
+    to the FULL SQL oracle for each substitutable query, (b) refuse
+    the oracles that reach into chain-internal CTEs (recall audit's
+    ``e``/``sizes``, edit distance's ``cand``), and (c) refuse
+    oracles with no chain at all. Spark never runs here: this is
+    oracle-vs-oracle, the same contract inheritance as the replay
+    identity test above."""
+    import duckdb
+
+    from tools.selfcheck import (
+        dtype_drift,
+        pair_substituted_oracle,
+        value_hash,
+    )
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    substitutable = [
+        "dedup_pagerank",
+        "dedup_graph_stats",
+        "dedup_cross_source",
+        "dedup_incremental_minhash",
+        "dedup_incremental_persisted",
+    ]
+    for name in substitutable:
+        sub = pair_substituted_oracle(oracles[name], con)
+        assert sub is not None, name
+        full = con.sql(oracles[name]).df()
+        got = con.sql(sub).df()
+        assert len(full) == len(got), name
+        assert not dtype_drift(full, got), name
+        assert value_hash(full) == value_hash(got), name
+    for name in ["dedup_lsh_recall", "dedup_edit_distance"]:
+        assert pair_substituted_oracle(oracles[name], con) is None, name
+    assert pair_substituted_oracle(oracles["dedup_exact"], con) is None
+    con.close()

@@ -249,6 +249,52 @@ def _cc_unionfind(con) -> pd.DataFrame:
     return out
 
 
+def pair_substituted_oracle(sql: str, con) -> str | None:
+    """Rewrite an oracle that embeds the full MinHash-LSH CTE chain to
+    read the verified pair set from the numpy band replay instead —
+    the generic extension of the minhash/clusters replay twins to
+    every DOWNSTREAM pair consumer (pagerank, graph stats, cross-
+    source matrix, incremental classification), whose own SQL is
+    cheap once ``lsh_pairs`` is a table.
+
+    Sound by construction: the replay is pinned bit-identical to the
+    chain it replaces (tests/test_dedup.py replay-identity test), the
+    substitution only rewrites the literal ``_lsh_pairs_ctes()``
+    prefix, and a bind probe (EXPLAIN against an EMPTY stand-in
+    table, so the guard costs nothing) rejects any oracle that
+    references chain-INTERNAL CTEs beyond ``lsh_pairs`` (the recall
+    audit uses ``e``/``sizes``, edit distance uses ``cand`` — those
+    must keep the full SQL chain). Returns the rewritten SQL, or None
+    when substitution does not apply."""
+    from flat_file_social_media_database_engine_spark.workloads.dedup import (
+        _lsh_pairs_ctes,
+    )
+
+    chain = _lsh_pairs_ctes()
+    if chain not in sql:
+        return None
+    out = sql.replace(
+        chain, "WITH lsh_pairs AS (SELECT * FROM replay_pairs)", 1
+    )
+    probe = pd.DataFrame(
+        {
+            "doc_id_a": pd.Series(dtype="int64"),
+            "doc_id_b": pd.Series(dtype="int64"),
+            "common": pd.Series(dtype="int64"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    con.register("replay_pairs", probe)
+    try:
+        con.sql("EXPLAIN " + out)
+    except Exception:
+        return None  # dangling chain-internal reference → full SQL
+    con.register("replay_pairs", _lsh_pairs_replay(con))
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -302,6 +348,14 @@ def main() -> int:
             ):
                 print("  (dedup_minhash_lsh via numpy band replay)")
                 odf = _lsh_pairs_replay(con)
+            elif (
+                con.sql("SELECT count(*) FROM documents").fetchone()[0]
+                > LSH_REPLAY_MIN_DOCS
+                and (sub := pair_substituted_oracle(oracles[name], con))
+                is not None
+            ):
+                print(f"  ({name} via replay-pair substituted oracle)")
+                odf = con.sql(sub).df()
             else:
                 odf = con.sql(oracles[name]).df()
         except Exception as ex:
