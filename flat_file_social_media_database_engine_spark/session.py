@@ -73,6 +73,17 @@ def build_session(app_name: str = "flat-file-engine-spark") -> SparkSession:
         # (reference's build-small/probe-large sets, buzzdb_lab1.cpp:524-547).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Default STAYS Spark's 1g: oversized driver fetches are bugs
+        # here (a forced broadcast collecting 80M rows through the
+        # driver was caught at sf100 precisely because this limit
+        # held). The env knob exists for the correctness battery
+        # alone, whose toPandas of a corpus-sized TEXT result (e.g.
+        # docs_strip_dup_spans' 5M cleaned documents) is the audited
+        # artifact itself, not a plan defect.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

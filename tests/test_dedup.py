@@ -1210,3 +1210,36 @@ def test_pair_substituted_oracles_match_full_sql():
         assert pair_substituted_oracle(oracles[name], con) is None, name
     assert pair_substituted_oracle(oracles["dedup_exact"], con) is None
     con.close()
+
+
+def test_cc_substituted_oracles_match_full_sql():
+    """tools/selfcheck.cc_substituted_oracle — the closure-chain twin
+    (lsh_pairs from the band replay, lab from the union-find replay,
+    edges kept inline) must be hash-identical to the full recursive
+    SQL for both canonical pickers, and must refuse oracles without
+    the chain."""
+    import duckdb
+
+    from tools.selfcheck import (
+        cc_substituted_oracle,
+        dtype_drift,
+        value_hash,
+    )
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    for name in ["dedup_keep_best", "dedup_keep_central", "dedup_clusters"]:
+        sub = cc_substituted_oracle(oracles[name], con)
+        assert sub is not None, name
+        full = con.sql(oracles[name]).df()
+        got = con.sql(sub).df()
+        assert len(full) == len(got), name
+        assert not dtype_drift(full, got), name
+        assert value_hash(full) == value_hash(got), name
+    assert cc_substituted_oracle(oracles["dedup_pagerank"], con) is None
+    con.close()

@@ -295,6 +295,63 @@ def pair_substituted_oracle(sql: str, con) -> str | None:
     return out
 
 
+def cc_substituted_oracle(sql: str, con) -> str | None:
+    """The closure-chain twin of ``pair_substituted_oracle``: rewrite
+    an oracle embedding ``_cc_ctes()`` (the RECURSIVE transitive-
+    closure chain ending in ``lab`` — the O(E·diameter) wall that
+    keeps the canonical-picker oracles out of large batteries) to
+    read ``lsh_pairs`` from the numpy band replay and ``lab`` from
+    the union-find replay, with the chain's literal ``edges``
+    definition kept inline for downstream degree/centrality math
+    (keep_central's pagerank recurrence). Same soundness story: both
+    replays are pinned bit-identical to the SQL they replace, and the
+    empty-stand-in EXPLAIN probe rejects oracles reaching any other
+    chain-internal CTE."""
+    from flat_file_social_media_database_engine_spark.workloads.dedup import (
+        _cc_ctes,
+    )
+
+    chain = _cc_ctes()
+    if chain not in sql:
+        return None
+    stub = """
+    WITH lsh_pairs AS (SELECT * FROM replay_pairs),
+    edges AS MATERIALIZED (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM lsh_pairs
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM lsh_pairs
+    ),
+    lab AS (SELECT doc_id, cluster_id FROM replay_labels)"""
+    out = sql.replace(chain, stub, 1)
+    empty_pairs = pd.DataFrame(
+        {
+            "doc_id_a": pd.Series(dtype="int64"),
+            "doc_id_b": pd.Series(dtype="int64"),
+            "common": pd.Series(dtype="int64"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    empty_labels = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "cluster_id": pd.Series(dtype="int64"),
+        }
+    )
+    con.register("replay_pairs", empty_pairs)
+    con.register("replay_labels", empty_labels)
+    try:
+        con.sql("EXPLAIN " + out)
+    except Exception:
+        return None
+    con.register("replay_pairs", _lsh_pairs_replay(con))
+    con.register(
+        "replay_labels", _cc_unionfind(con)[["doc_id", "cluster_id"]]
+    )
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -351,10 +408,15 @@ def main() -> int:
             elif (
                 con.sql("SELECT count(*) FROM documents").fetchone()[0]
                 > LSH_REPLAY_MIN_DOCS
-                and (sub := pair_substituted_oracle(oracles[name], con))
+                and (
+                    sub := (
+                        cc_substituted_oracle(oracles[name], con)
+                        or pair_substituted_oracle(oracles[name], con)
+                    )
+                )
                 is not None
             ):
-                print(f"  ({name} via replay-pair substituted oracle)")
+                print(f"  ({name} via replay-substituted oracle)")
                 odf = con.sql(sub).df()
             else:
                 odf = con.sql(oracles[name]).df()
