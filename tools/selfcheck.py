@@ -365,7 +365,15 @@ def main() -> int:
     # fraction of HOST RAM, which it cannot have when a 40 GB JVM and
     # the numpy replay share the box — unbounded, the sf100 battery's
     # process mix tripped the OOM killer mid-run (it spills fine).
-    con.execute("SET memory_limit='24GB'")
+    # 24GB default fits the combined battery next to a 40-48GB JVM;
+    # the env knob exists for solo heavy-oracle rows (the span-strip
+    # rebuild string-aggregates 5M cleaned texts, which DuckDB cannot
+    # spill — it needs the larger share while the JVM runs smaller).
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "24GB")
+        + "'"
+    )
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
