@@ -2952,13 +2952,27 @@ def pagerank_pairs(pairs: DataFrame) -> DataFrame:
     rank planted graph TOPOLOGIES directly (a clean star/chain/clique
     cannot be forced through the LSH front: set similarity makes a
     high-J star geometrically impossible)."""
+    from ..operators.graph import _reliable_checkpoint
+
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = materialize(edges.join(deg, "src"))  # (src, dst, deg), reused 8x
+    # Reliable checkpoints, not persist: each of the PR_ITERS
+    # iterations embeds the build side's ANALYZED plan again, so with
+    # lineage kept the final plan nests the whole LSH-front subtree
+    # once per iteration — measured 10.3 MB of formatted plan / 16k
+    # InMemoryRelation nodes at sf0.1, seconds of pure Catalyst
+    # analysis per action even on warm cache hits (optimization guide
+    # §3.3: materialize to truncate giant plans). Checkpointing deg
+    # (node-sized) and ed (edge-sized) restarts lineage from flat
+    # scans: the final rank plan is 8 small join+agg layers (~30 KB).
+    # Same fault-tolerance posture as connected_components' rounds.
+    deg = _reliable_checkpoint(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = _reliable_checkpoint(edges.join(deg, "src"))  # (src, dst, deg), reused 8x
     ranks = deg.select(
         F.col("src").alias("doc_id"),
         F.lit(PR_SCALE).cast("bigint").alias("rank_fp"),
