@@ -2408,13 +2408,26 @@ def _noncanonical_starts(grams: DataFrame) -> DataFrame:
     use. (doc_id, pos) is unique per occurrence, so the min struct is
     a total-order pick — same rows as the rank>1 formulation, pinned
     by the span-family oracles and the planted hot-gram test in
-    tests/test_dedup.py."""
-    dup = _dup_occurrences(grams)
-    canon = dup.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("__canon")
+    tests/test_dedup.py.
+
+    Round-9 fusion (guide §2.4 — do fewer shuffles): the occurrence
+    count and the canonical min(struct) are ONE partial-aggregable
+    groupBy over the gram pass (previously two passes: a count
+    feeding a semi join, then a second min agg over the survivors).
+    The duplicated-h set with its canonical pick joins back once;
+    rows are identical — occurrences of c>=2 hashes minus the per-h
+    minimum (doc_id, pos)."""
+    agg = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct("doc_id", "pos")).alias("__canon"),
+        )
+        .filter(F.col("__c") >= 2)
+        .select("h", "__canon")
     )
     return (
-        dup.join(canon, "h")
+        grams.join(agg, "h")
         .filter(
             (F.col("doc_id") != F.col("__canon.doc_id"))
             | (F.col("pos") != F.col("__canon.pos"))
@@ -3242,15 +3255,17 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= _PIPE_MIN_TOKENS)
         & (F.col("n_uniq") / F.col("n_tokens") >= _PIPE_MIN_UNIQ)
     )
-    keep_ids = q.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
-    # kept has two consumers (the gram semi-join and the final
-    # rollup), and each would otherwise re-run the scan + digest +
-    # first-wins join — materialize the (doc_id, source, n_tokens)
-    # survivor table once; it is dedup-output-sized, not corpus-sized.
+    # First-wins dedup as ONE aggregation: doc_id is unique, so the
+    # per-digest min(struct(doc_id, source, n_tokens)) IS the lowest-
+    # doc_id survivor row — no keep_ids join back, and the quality
+    # scan runs once instead of on both join sides (round-9, guide
+    # §2.4). kept still has two consumers (the gram semi-join and the
+    # final rollup); materialize it once — dedup-output-sized, not
+    # corpus-sized.
     kept = materialize(
-        q.join(keep_ids, ["digest", "doc_id"]).select(
-            "doc_id", "source", "n_tokens"
-        )
+        q.groupBy("digest")
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("__r"))
+        .select("__r.doc_id", "__r.source", "__r.n_tokens")
     )
     grams = _span_grams(spark, sf_dir).join(
         kept.select("doc_id"), "doc_id", "left_semi"
