@@ -602,32 +602,41 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hp))
         .select("query_id", "t", "b", _dot("qe", "h").alias("d"))
     )
-    w = Window.partitionBy("query_id", "t").orderBy(F.abs(F.col("d")), "b")
-    ranked = dots.withColumn("mr", F.row_number().over(w))
-    k0 = ranked.groupBy("query_id", "t").agg(
+    # Round-9 (guide §2.4): the probe-set construction — base key k0
+    # plus the lowest-|margin| bit flips — previously ran a
+    # row_number window, a separate k0 aggregation, a join and a
+    # union+distinct (4 shuffles over the Q×T×B probe rows). The
+    # per-(query, table) bit set is tiny and bounded (≤ LSH_BITS +
+    # ext), so ONE groupBy collects it and pure array arithmetic
+    # yields the identical probe keys: sort the (|d|, b) structs for
+    # the margin ranking (same (abs(d), b) tie-break as the window),
+    # fold the sign bits for k0, flip the first MULTIPROBE_FLIPS + e.
+    # All probe keys are distinct by construction (flipping distinct
+    # bits of k0 yields pairwise-distinct keys ≠ k0), so the union+
+    # distinct is subsumed by the explode.
+    grp = dots.groupBy("query_id", "t").agg(
         F.sum(
             F.when(
                 F.col("d") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
             ).otherwise(F.lit(0))
         )
         .cast("bigint")
-        .alias("k0")
+        .alias("k0"),
+        F.array_sort(
+            F.collect_list(F.struct(F.abs(F.col("d")).alias("ad"), "b"))
+        ).alias("mb"),
     )
-    flips = (
-        ranked.filter(F.col("mr") <= MULTIPROBE_FLIPS + e)
-        .join(k0, ["query_id", "t"])
-        .select(
-            "query_id",
-            "t",
-            F.expr("CAST(k0 ^ shiftleft(CAST(1 AS BIGINT), b) AS BIGINT)").alias(
-                "k"
-            ),
-        )
-    )
-    probes = (
-        k0.select("query_id", "t", F.col("k0").alias("k"))
-        .unionByName(flips)
-        .distinct()
+    probes = grp.select(
+        "query_id",
+        "t",
+        F.explode(
+            F.expr(
+                f"concat(array(k0), transform("
+                f"slice(mb, 1, {MULTIPROBE_FLIPS + e}), "
+                f"s -> CAST(k0 ^ shiftleft(CAST(1 AS BIGINT), s.b) "
+                f"AS BIGINT)))"
+            )
+        ).alias("k"),
     )
 
     cand = (
