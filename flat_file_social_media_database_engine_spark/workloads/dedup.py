@@ -1283,33 +1283,60 @@ def _simhash_cte() -> str:
 def _simhash_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — the Spark twin of ``_simhash_cte``.
 
-    Formulation A/B (negative result, sf0.1 min-of-3): collapsing the
-    60 per-bit ``aggregate`` traversals into ONE pass with a 60-wide
-    array accumulator (``aggregate(hv, array_repeat(0L, 60), (acc, h)
-    -> transform(acc, (a, i) -> ...))``) measured 1.68s vs 1.56s for
-    this form — higher-order-function lambdas run interpreted either
-    way, so one traversal with nested lambdas costs the same as 60
-    flat ones, and this form stays structurally parallel to the
-    oracle CTE. Values verified identical (0 mismatches)."""
+    Formulation A/B history: 60 per-bit interpreted ``aggregate``
+    traversals measured 1.56s for 5000 docs at sf0.1 and ~2s of
+    Catalyst analysis for the 60-aggregate expression tree; the
+    60-wide array-accumulator single traversal was no better (1.68s —
+    HOF lambdas run interpreted either way). Round-9: the token
+    hashes stay a JVM expression (codegen'd md5 — ``transform(_tokens
+    (), _h60)``, identical to ``_simhash_cte``'s ``hv``), and the
+    sign-sum bit fold moves to an Arrow pass (guide §4.2 — hand whole
+    batches to numpy): per batch, one 1-D cumsum per bit over the
+    concatenated hash stream gives every doc's tf-weighted bit sum
+    with exact integer arithmetic, so the signature is bit-identical
+    to the expression form (pinned in tests/test_dedup.py)."""
     hv = F.transform(_tokens(), _h60)
-
-    def _bit_sum(b: int):
-        # binary (acc, h) merge function; bit index baked in closure
-        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    bit_terms = [
-        F.when(
-            F.aggregate(F.col("hv"), F.lit(0).cast("bigint"), _bit_sum(b)) >= 0,
-            F.lit(1 << b).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(_SIMHASH_BITS)
-    ]
-    out = F.lit(0).cast("bigint")
-    for t in bit_terms:
-        out = out + t
     return docs.select("doc_id", hv.alias("hv")).select(
-        "doc_id", out.alias("simhash")
+        "doc_id", _simhash_bits_udf()("hv").alias("simhash")
     )
+
+
+def _simhash_bits_udf():
+    """Arrow-vectorized sign-sum bit fold: array<long> of 60-bit token
+    hashes → the 60-bit simhash signature. Exact-integer replica of
+    the per-bit ``aggregate`` expression (sum over tokens of
+    ``2·bit − 1``; bit set iff sum ≥ 0 — an EMPTY hv folds to 0 from
+    the zero initializer, so all bits set, matching the expression
+    form). Per-bit 1-D cumsums keep transient memory at two
+    flat-stream-sized vectors instead of a (tokens × 60) matrix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def simhash(hvs):
+        n = len(hvs)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        arrs = [np.asarray(v, dtype=np.int64) for v in hvs]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        flat = (
+            np.concatenate(arrs)
+            if ends[-1] > 0
+            else np.empty(0, dtype=np.int64)
+        )
+        sig = np.zeros(n, dtype=np.int64)
+        z = np.zeros(1, dtype=np.int64)
+        for b in range(_SIMHASH_BITS):
+            contrib = (((flat >> b) & 1) * 2 - 1).astype(np.int64)
+            cs = np.concatenate([z, np.cumsum(contrib)])
+            sums = cs[ends] - cs[starts]
+            sig |= (sums >= 0).astype(np.int64) << b
+        return pd.Series(sig)
+
+    return simhash
 
 
 _SIMHASH_CACHE: dict = {}

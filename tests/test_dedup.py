@@ -1243,3 +1243,62 @@ def test_cc_substituted_oracles_match_full_sql():
         assert value_hash(full) == value_hash(got), name
     assert cc_substituted_oracle(oracles["dedup_pagerank"], con) is None
     con.close()
+
+
+def test_simhash_arrow_fold_matches_expression_form(spark):
+    """The round-9 Arrow sign-sum bit fold (_simhash_bits_udf) must be
+    bit-identical to the 60-aggregate JVM expression it replaced —
+    including the empty-hv edge (zero-initializer fold => every bit
+    sum is 0 => all 60 bits set). The expression form is rebuilt here
+    as the executable spec."""
+    from pyspark.sql import functions as F
+
+    from flat_file_social_media_database_engine_spark.workloads.dedup import (
+        _SIMHASH_BITS,
+        _h60,
+        _simhash_bits_udf,
+        _tokens,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, ""),  # tokenizes to [''] — single token
+        (5, "x"),
+        (6, "repeat repeat repeat repeat distinct"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hv = F.transform(_tokens(), _h60)
+    base = docs.select("doc_id", hv.alias("hv"))
+
+    def _bit_sum(b):
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    expr = F.lit(0).cast("bigint")
+    for b in range(_SIMHASH_BITS):
+        expr = expr + F.when(
+            F.aggregate(F.col("hv"), F.lit(0).cast("bigint"), _bit_sum(b)) >= 0,
+            F.lit(1 << b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    got = {
+        r["doc_id"]: r["s"]
+        for r in base.select(
+            "doc_id", _simhash_bits_udf()("hv").alias("s")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["s"]
+        for r in base.select("doc_id", expr.alias("s")).collect()
+    }
+    assert got == want
+    # empty-array edge exercised explicitly (no doc tokenizes empty —
+    # split('') is [''] — so feed one directly)
+    empty = spark.createDataFrame(
+        [(9, [])], "doc_id bigint, hv array<bigint>"
+    )
+    s = empty.select(_simhash_bits_udf()("hv").alias("s")).collect()[0]["s"]
+    assert s == (1 << _SIMHASH_BITS) - 1
