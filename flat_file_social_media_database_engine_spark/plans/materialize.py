@@ -127,7 +127,12 @@ def materialize_parquet(spark, df: DataFrame, prefix: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix=f"sparkgraft_{prefix}_")
     with _SESSION_CACHE_LOCK:
         _PARQUET_DIRS.append(out)
-    df.write.mode("overwrite").parquet(out)
+    # zstd over the default snappy (guide §6): the span-gram pass was
+    # the sf100 I/O boundary — every consumer re-reads it — and zstd's
+    # better ratio on the delta/dictionary-encoded gram columns cuts
+    # those re-read bytes at similar decode speed. Neutral at bench
+    # scale (measured), smaller at the 100 TB tier where it matters.
+    df.write.mode("overwrite").option("compression", "zstd").parquet(out)
     return spark.read.schema(df.schema).parquet(out)
 
 
