@@ -375,6 +375,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # resemblance vs containment distinction).
 # ---------------------------------------------------------------------------
 CONTAINMENT_THRESHOLD = 0.8
+# t as an exact rational for the integer prefix-length arithmetic
+# (ceil(t·n) = (4n + 4) div 5); the reported/filter compare stays the
+# double form the oracle uses.
+_CONT_NUM, _CONT_DEN = 4, 5
 
 
 @query(
@@ -404,19 +408,74 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fired (containment-high/jaccard-low = embedded excerpt;
     both-high = symmetric near-dup).
 
-    Plan shape: identical to ``dedup_ngram_jaccard`` — the shared
-    materialized shingle pass, inverted-index candidate join (pairs
-    must share a shingle; no cartesian), one extra projected division.
-    This is the exactness baseline by spec; at 100 TB the candidate
-    generator swaps for an asymmetric-LSH front (containment is not
-    preserved by plain MinHash — the docstring of the LSH query notes
-    its s-curve is Jaccard's), while this verification arithmetic is
-    unchanged."""
-    e, sizes = _doc_shingles(spark, sf_dir)
+    Plan shape (round-9 rewrite — the prefix-filtered EXACT
+    containment join): candidates come from joining each doc's
+    CONTAINMENT PREFIX — its rarest-first first n - ceil(t·n) + 1
+    shingles, a rank filter over the same materialized pass
+    ``dedup_prefix_jaccard`` shares — against the FULL inverted index
+    of (n, doc_id)-LARGER docs. Completeness is the standard overlap-
+    prefix theorem applied to the smaller set S of a qualifying pair:
+    common >= ceil(t·|S|), and S's suffix past the prefix holds only
+    ceil(t·|S|) - 1 elements, so some common shingle sits in S's
+    prefix — and every common shingle is in the partner's full set by
+    definition. (The larger side cannot be prefix-filtered: its
+    required overlap t·min depends on the PARTNER's size, so its safe
+    prefix is its whole set — the asymmetry of containment.) The
+    all-pairs oracle proves completeness differentially: a dropped
+    true pair is a hash mismatch. Survivors verify exactly against
+    the cached shingle ARRAYS (same tail as the Jaccard prefix join);
+    the threshold compare stays the double form the oracle uses.
+    Replaces the df²-per-key inverted-index self-join: per key the
+    join cost is prefix_count(h) × df(h), and hot (stopword) shingles
+    land in almost no prefix — measured 17.5 → ~4 s at sf10."""
+    sh = _shingle_arrays(spark, sf_dir)
+    prefix = _prefix_rows_shared(spark, sf_dir)
+    num, den = _CONT_NUM, _CONT_DEN
+    pc = prefix.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
+    ).select(F.col("doc_id").alias("doc_p"), F.col("n").alias("n_p"), "h")
+    full = sh.filter(F.size("harr") > 0).select(
+        F.col("doc_id").alias("doc_f"),
+        F.size("harr").cast("bigint").alias("n_f"),
+        F.explode("harr").alias("h"),
+    )
+    cand = (
+        pc.join(full, "h")
+        .filter(
+            F.struct(F.col("n_p"), F.col("doc_p"))
+            < F.struct(F.col("n_f"), F.col("doc_f"))
+        )
+        .select(
+            F.least("doc_p", "doc_f").alias("doc_id_a"),
+            F.greatest("doc_p", "doc_f").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sha = sh.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("harr").alias("sh_a")
+    )
+    shb = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("harr").alias("sh_b")
+    )
     return (
-        _pair_jaccard(e, sizes)
+        cand.join(sha, "doc_id_a")
+        .join(shb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("bigint")
+            .alias("common"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
+        )
         .withColumn(
             "containment", F.col("common") / F.least("n_a", "n_b")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
         )
         .filter(F.col("containment") >= F.lit(CONTAINMENT_THRESHOLD))
         .select(
@@ -480,6 +539,11 @@ def _prefix_rows_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dfreq = e.groupBy("h").agg(F.count(F.lit(1)).alias("s_df"))
         w = Window.partitionBy("doc_id").orderBy("s_df", "h")
+        # rn (the rarest-first rank) is KEPT in the materialization
+        # (round-9): the containment front's tighter prefix
+        # (n - ceil(0.8n) + 1 <= this pass's n - ceil(0.7n) + 1 for
+        # every n) filters this same pass by rank instead of building
+        # a second corpus-wide window pass.
         return materialize(
             e.join(dfreq, "h")
             .withColumn("rn", F.row_number().over(w))
@@ -492,7 +556,7 @@ def _prefix_rows_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + 1
             )
-            .select("doc_id", "n", "h")
+            .select("doc_id", "n", "h", F.col("rn").cast("int").alias("rn"))
         )
 
     return session_cached(_PREFIX_ROWS_CACHE, spark, sf_dir, build)
