@@ -48,6 +48,24 @@ def build_session(app_name: str = "flat-file-engine-spark") -> SparkSession:
             "512",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescing floor (default 1 MB) is a BYTE grain, but
+        # several query tails here are heavy-compute-per-row over tiny
+        # bytes — a distinct'd candidate-pair set feeding array_intersect
+        # verification is ~16 bytes/row, so the default floor coalesced
+        # dedup_containment_pairs' whole verify stage to ONE task at any
+        # core count (measured r10: 1.64 s -> 0.63 s at sf0.1 with a 64 KB
+        # floor; revert reproduced 1.39-1.70 s). parallelismFirst (Spark
+        # default, kept) targets CLUSTER parallelism, so this floor is
+        # scale-adaptive, not a local[32] tune: at tiers where shuffles
+        # carry real bytes the floor is never the binding constraint, and
+        # at the reduction tails it stops serializing compute-dense rows
+        # onto one core. Env-overridable for deployments whose reduce
+        # tails are byte-dense (raise it back toward 1m to cut tiny
+        # shuffle blocks, guide S2.2).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         # Let AQE coalesce CACHED plans too (default false keeps a
         # cached plan's pre-AQE partitioning "stable" for reuse):
         # with initialPartitionNum=512, every materialize() cache

@@ -344,6 +344,90 @@ def test_recall_audit_structure_and_dominance(spark, sf_small):
     assert rows["lsh_multiprobe"]["n_caught"] >= rows["lsh"]["n_caught"]
 
 
+def test_ivf_cells_pass_matches_inline_assignment(spark, sf_small):
+    """The round-10 ``_ivf_cells`` session pass is EXACTLY the cell-
+    assignment subtree ``sim_topk_ivf`` previously derived inline —
+    rebuilt here as the executable spec (broadcast sampled centroids,
+    cosine argmax with (cos DESC, cid) tie-break, rnk <= nprobe) and
+    compared row-for-row, so the materialization can never drift from
+    the assignment the oracle replays."""
+    from pyspark.sql import Window, functions as F
+
+    from flat_file_social_media_database_engine_spark.sources.catalog import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding", F.sqrt(S._norm2("embedding")).alias("nrm")
+    )
+    cents = base.filter(F.col("vec_id") < S.IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    spec = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            S._cos(
+                S._dot("embedding", "ce"), F.col("nrm") * F.col("cn")
+            ).alias("cos_c"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cos_c").desc(), "cid"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= S.IVF_NPROBE)
+        .select("vec_id", "cid", "rnk")
+    )
+    want = sorted(map(tuple, spec.collect()))
+    got = sorted(map(tuple, S._ivf_cells(spark, sf_small).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_recall_audit_matches_leg_composition(spark, sf_small):
+    """The round-10 one-plan audit (shared probe/score subtrees, fused
+    lsh/multiprobe ranking off one window pass) must report EXACTLY
+    what composing the three standalone declared queries against the
+    brute-force truth reports — the pre-round-10 implementation,
+    rebuilt here as the executable spec."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.sim_topk_bruteforce(spark, sf_small)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    want = {}
+    for method, fn in (
+        ("lsh", S.sim_topk_lsh),
+        ("lsh_multiprobe", S.sim_topk_lsh_multiprobe),
+        ("ivf", S.sim_topk_ivf),
+    ):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(spark, sf_small)
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+        want[method] = (len(truth), len(truth & got))
+    rows = {
+        r["method"]: r for r in S.sim_recall_audit(spark, sf_small).collect()
+    }
+    assert set(rows) == set(want)
+    for method, (n_true, n_caught) in want.items():
+        assert rows[method]["n_true"] == n_true
+        assert rows[method]["n_caught"] == n_caught
+        assert rows[method]["recall"] == pytest.approx(
+            n_caught / n_true if n_true else 0.0
+        )
+
+
 def test_ext_bits_ladder():
     """Integer thresholds: e = ceil(log2(n/4096)) clamped to [0, 7],
     with the driver fixtures (200 / 2k vectors) pinned at 0 so their
