@@ -688,6 +688,47 @@ def test_append_mode_sessionize_drains_via_sentinels(spark):
     assert len(g) > 0
 
 
+def test_drain_without_nodata_batches_equals_with(spark, monkeypatch):
+    """Round-10: the shared drain (``run_stream_to_parquet``) skips
+    the engine's zero-row bookkeeping micro-batches — a finite
+    AvailableNow replay terminates right after its last data batch,
+    so those batches can only pay state-commit cost, never emit rows
+    the sink read-back sees. Pinned here on the append-mode
+    sessionize shape (the state-FINALIZATION path, where a wrongly
+    skipped batch would silently lose tail sessions): the drained
+    result with no-data batches disabled (the shipped default) equals
+    the drain with them force-enabled via the env override."""
+    from flat_file_social_media_database_engine_spark.streaming.events import (
+        read_staged_events_stream,
+        run_stream_to_parquet,
+        sessionize,
+        stage_events_with_sentinels,
+    )
+
+    stage = stage_events_with_sentinels(spark, SF)
+    schema = (
+        "user_id bigint, session_start timestamp,"
+        " session_end timestamp, n_events bigint"
+    )
+
+    def drain():
+        return {
+            tuple(r)
+            for r in run_stream_to_parquet(
+                sessionize(read_staged_events_stream(spark, stage)),
+                "nodata_ab_",
+                schema,
+            ).collect()
+        }
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_NODATA_BATCHES", "false")
+    without = drain()
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_NODATA_BATCHES", "true")
+    with_nd = drain()
+    assert without == with_nd
+    assert len(without) > 0
+
+
 def test_running_clamp_state_survives_skipped_batch(spark, tmp_path):
     """Regression pin for the first-batch timeout bug: the timeout
     used to be scheduled off the CURRENT watermark — which is still 0
