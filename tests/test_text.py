@@ -93,6 +93,56 @@ def test_bigram_lm_score_hand_checked(spark, tmp_path):
     assert out[2]["bigram_cohesion"] == 4 / 6
 
 
+def test_bigram_arrow_fold_matches_join_form(spark, tmp_path):
+    """Round-10: the Arrow fold (flat token stream + segment cumsums)
+    must be bit-identical to the pre-round-10 explode + broadcast-join
+    + groupBy formulation, rebuilt here as the executable spec. The
+    corpus is adversarial for the flat-stream form: doc 1 ends with
+    'b' and doc 2 starts with 'c' while 'b c' IS a real corpus bigram
+    (doc 3), so a leaked doc-BOUNDARY position would inflate doc 1's
+    sums instead of failing loudly; 0- and 1-token docs pin the empty
+    segments."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b", "en", "s", 3),
+        (2, "c d", "en", "s", 3),
+        (3, "b c a b c d", "en", "s", 11),
+        (4, "", "en", "s", 0),
+        (5, "a", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    docs_arr = spark.read.parquet(str(tmp_path / "documents.parquet")).select(
+        "doc_id", T._tokens().alias("toks")
+    )
+    tok = docs_arr.select("doc_id", F.explode("toks").alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    big = docs_arr.select("doc_id", F.explode(F.expr(T._BIGRAMS_EXPR)).alias("bg"))
+    bgf = big.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("btf"))
+    spec = (
+        big.join(F.broadcast(bgf), "bg")
+        .join(F.broadcast(uni), F.split(F.col("bg"), " ")[0] == F.col("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("btf").cast("bigint").alias("sum_bigram_tf"),
+            F.sum("tf").cast("bigint").alias("sum_prefix_tf"),
+        )
+        .withColumn(
+            "bigram_cohesion",
+            F.col("sum_bigram_tf") / F.col("sum_prefix_tf"),
+        )
+    )
+    want = sorted(map(tuple, spec.collect()))
+    got = sorted(map(tuple, T.text_bigram_lm_score(spark, sf).collect()))
+    assert got == want
+    assert len(got) == 3  # docs 4 (empty) and 5 (one token) drop out
+
+
 def test_tfidf_topk_hand_checked(spark, tmp_path):
     """3 docs; terms (join, hash, filter). doc1 has join×2; doc2 has
     hash×1 + filter×1; doc3 has none of the terms (filtered out).
