@@ -131,7 +131,13 @@ def _relayout(
     split wider than the cluster, current >= target, and this no-ops —
     exactly like spread(). No cross-run state: the copy lives in the
     session's temp space and is rebuilt from the source every run
-    (reclaimed by reset_session_caches like every materialized pass)."""
+    (reclaimed by reset_session_caches like every materialized pass).
+
+    Assumption made explicit (advisor r9): the repartition changes
+    PHYSICAL ROW ORDER for every consumer, which is safe because no
+    query or oracle here is row-order-sensitive (the driver's hash is
+    order-insensitive and every ordered output orders explicitly); a
+    future order-sensitive consumer must bypass read_table or sort."""
     shape = _scan_shape(path)
     sc = spark.sparkContext
     target = min(

@@ -1382,7 +1382,17 @@ def _simhash_bits_udf():
         n = len(hvs)
         if n == 0:
             return pd.Series([], dtype="int64")
-        arrs = [np.asarray(v, dtype=np.int64) for v in hvs]
+        # None -> empty array (all-bits-set signature), matching the
+        # NULL-in/NULL-out-adjacent behavior of the replaced JVM
+        # aggregate; currently unreachable through _tokens() (which
+        # coalesces NULL text), but a future caller without that
+        # tokenizer must not crash the whole Arrow batch (advisor r9).
+        arrs = [
+            np.asarray(v, dtype=np.int64)
+            if v is not None
+            else np.empty(0, dtype=np.int64)
+            for v in hvs
+        ]
         lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
         ends = np.cumsum(lens)
         starts = ends - lens

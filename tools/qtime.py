@@ -41,10 +41,9 @@ def main() -> int:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t0, 3))
         spark.sparkContext.setJobDescription(None)
-        print(
-            f"{name}: cold={walls[0]} warm={walls[1:]} warm_min={min(walls[1:]):.3f}",
-            flush=True,
-        )
+        warm = walls[1:]
+        wmin = f" warm_min={min(warm):.3f}" if warm else ""
+        print(f"{name}: cold={walls[0]} warm={warm}{wmin}", flush=True)
     return 0
 
 
