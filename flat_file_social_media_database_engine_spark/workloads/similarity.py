@@ -1535,8 +1535,14 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("in_lsh") & (F.col("lsh_rank") <= TOP_K)).alias("lsh_hit"),
         )
     )
+    # groupBy on a constant rather than a global agg: an EMPTY truth
+    # set must yield ZERO rows (the pre-round-10 groupBy("method")
+    # behavior and the oracle's GROUP BY), not 3 zero-count rows — a
+    # global agg always emits one row (caught by the empty-tables
+    # differential suite).
     two = (
         truth.join(tops, ["query_id", "neighbor_id"], "left")
+        .groupBy(F.lit(1).alias("_g"))
         .agg(
             F.count(F.lit(1)).alias("n_true"),
             F.sum(F.when(F.col("lsh_hit"), 1).otherwise(0))
@@ -1559,6 +1565,7 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf_leg = (
         truth.join(ivf_top, ["query_id", "neighbor_id"], "left")
+        .groupBy(F.lit(1).alias("_g"))
         .agg(
             F.count(F.lit(1)).alias("n_true"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0)))
